@@ -1,0 +1,315 @@
+"""BLS12-381 G1 group operations as batched TPU array programs.
+
+TPU-native replacement for gnark-crypto's G1Affine/G1Jac (+ wNAF/GLV
+ScalarMultiplication and Pippenger MultiExp; SURVEY.md §2.2).
+
+Points are homogeneous projective (X : Y : Z), x = X/Z, y = Y/Z, computed with
+the *complete* formulas of Renes–Costello–Batina 2016 ("Complete addition
+formulas for prime order elliptic curves"; Algorithms 7 & 9 for a = 0,
+b3 = 3b = 12). Complete formulas are branchless — doubling, inverses and the
+point at infinity (0:1:0) all take the same 12-mul schedule — which is exactly
+what a batched SIMD device program needs: no per-lane control flow.
+
+The MSM is a TPU-shaped windowed method (the reference's Pippenger equivalent,
+/root/reference/common/util.go:14 MultiExp call sites):
+  1. per-point 4-bit multiples tables (15 batched complete adds);
+  2. one-hot contraction selects every window's multiple for every point;
+  3. all 64 windows tree-reduce over the points axis *in parallel* —
+     the lane-saturating phase;
+  4. Horner combine over windows (64 x (4 doublings + 1 add)).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fp
+from .fp import Fp, REDUCED
+from ..utils import field_host as fh
+from ..utils.field_host import Affine
+
+B3 = 12  # 3*b for y^2 = x^3 + 4
+
+
+class PointVec(NamedTuple):
+    """A batch of projective G1 points (pytree of three Fp)."""
+    x: Fp
+    y: Fp
+    z: Fp
+
+    @property
+    def batch_shape(self):
+        return self.x.batch_shape
+
+
+def infinity(shape=()) -> PointVec:
+    return PointVec(fp.zeros(shape), fp.constant(1, shape), fp.zeros(shape))
+
+
+def _settle(p: PointVec) -> PointVec:
+    """Carry every coordinate to the REDUCED contract (stable pytree aux for
+    lax loops; also keeps follow-on convolutions exact)."""
+    return PointVec(fp.carry_to(p.x, REDUCED),
+                    fp.carry_to(p.y, REDUCED),
+                    fp.carry_to(p.z, REDUCED))
+
+
+def _mul6(avec, bvec):
+    """Multiply k independent Fp pairs as ONE stacked field mul.
+
+    The RCB formulas' 12 muls fall into two dependency stages of 6
+    independent products each; stacking them gives the conv kernel 6x the
+    lanes and shrinks the traced graph ~6x.
+    """
+    a = fp.stack(avec)
+    b = fp.stack(bvec)
+    m = fp.mul(a, b)
+    k = len(avec)
+    return [fp.fmap(lambda t, i=i: t[i], m) for i in range(k)]
+
+
+def add(p: PointVec, q: PointVec) -> PointVec:
+    """Complete projective addition (RCB16 Algorithm 7, a=0), two-stage."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    # stage 1: six independent products
+    t0, t1, t2, m4, m5, m6 = _mul6(
+        [x1, y1, z1, fp.add(x1, y1), fp.add(y1, z1), fp.add(x1, z1)],
+        [x2, y2, z2, fp.add(x2, y2), fp.add(y2, z2), fp.add(x2, z2)])
+    t3 = fp.sub(m4, fp.add(t0, t1))
+    t4 = fp.sub(m5, fp.add(t1, t2))
+    y3 = fp.sub(m6, fp.add(t0, t2))
+    t0_3 = fp.add(fp.add(t0, t0), t0)
+    t2b = fp.mul_small(t2, B3)
+    z3 = fp.add(t1, t2b)
+    t1m = fp.sub(t1, t2b)
+    y3b = fp.mul_small(y3, B3)
+    # stage 2: six independent products
+    n1, n2, n3, n4, n5, n6 = _mul6(
+        [t4, t3, y3b, t1m, t0_3, z3],
+        [y3b, t1m, t0_3, z3, t3, t4])
+    x3 = fp.sub(n2, n1)
+    y3 = fp.add(n4, n3)
+    z3 = fp.add(n6, n5)
+    return _settle(PointVec(x3, y3, z3))
+
+
+def double(p: PointVec) -> PointVec:
+    """Complete projective doubling (RCB16 Algorithm 9, a=0), two-stage."""
+    x, y, z = p
+    t0, t1, t2r, m4 = _mul6([y, y, z, x], [y, z, z, y])
+    t2 = fp.mul_small(t2r, B3)
+    z3s = fp.add(fp.add(fp.add(t0, t0), fp.add(t0, t0)),
+                 fp.add(fp.add(t0, t0), fp.add(t0, t0)))  # 8*t0
+    y3s = fp.add(t0, t2)
+    t0m = fp.sub(t0, fp.add(fp.add(t2, t2), t2))  # t0 - 3*t2
+    n1, n2, n3, n4 = _mul6([t2, t0m, t1, t0m], [z3s, y3s, z3s, m4])
+    x3 = fp.add(n4, n4)
+    y3 = fp.add(n1, n2)
+    z3 = n3
+    return _settle(PointVec(x3, y3, z3))
+
+
+def neg(p: PointVec) -> PointVec:
+    return PointVec(p.x, fp.neg(p.y), p.z)
+
+
+def select(mask: jnp.ndarray, p: PointVec, q: PointVec) -> PointVec:
+    return PointVec(fp.where(mask, p.x, q.x),
+                    fp.where(mask, p.y, q.y),
+                    fp.where(mask, p.z, q.z))
+
+
+def pmap_coords(fn, p: PointVec) -> PointVec:
+    return PointVec(fp.fmap(fn, p.x), fp.fmap(fn, p.y), fp.fmap(fn, p.z))
+
+
+# -- host <-> device ---------------------------------------------------------
+
+def from_affine_host(pts: Sequence[Affine]) -> PointVec:
+    n = len(pts)
+    xs = np.zeros((n, fp.NLIMBS), dtype=np.int64)
+    ys = np.zeros((n, fp.NLIMBS), dtype=np.int64)
+    zs = np.zeros((n, fp.NLIMBS), dtype=np.int64)
+    for i, pt in enumerate(pts):
+        if pt is None:
+            ys[i, 0] = 1
+        else:
+            xs[i] = fp.from_int(pt[0])
+            ys[i] = fp.from_int(pt[1])
+            zs[i, 0] = 1
+    mk = lambda a: Fp(jnp.asarray(a, dtype=fp.DTYPE), fp.CANONICAL)
+    return PointVec(mk(xs), mk(ys), mk(zs))
+
+
+def to_affine_host(p: PointVec) -> List[Affine]:
+    """Exact host-side projective->affine (bignum canonicalize + invert)."""
+    xs = fp.to_ints(p.x)
+    ys = fp.to_ints(p.y)
+    zs = fp.to_ints(p.z)
+    out: List[Affine] = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+        else:
+            zinv = fh.fp_inv(z)
+            out.append((x * zinv % fh.P, y * zinv % fh.P))
+    return out
+
+
+def to_affine_host_single(p: PointVec) -> Affine:
+    return to_affine_host(pmap_coords(lambda a: a.reshape(1, -1), p))[0]
+
+
+# -- scalar multiplication / MSM ---------------------------------------------
+
+WINDOW_BITS = 4
+NUM_WINDOWS = 64  # ceil(256/4): covers any canonical Fr scalar
+TABLE_SIZE = 1 << WINDOW_BITS
+
+
+def scalars_to_digits(scalars: Sequence[int]) -> np.ndarray:
+    """[n] ints -> [n, 64] int32 4-bit digits, MSB window first."""
+    out = np.zeros((len(scalars), NUM_WINDOWS), dtype=np.int32)
+    for i, s in enumerate(scalars):
+        s = int(s) % fh.R
+        for w in range(NUM_WINDOWS):
+            out[i, w] = (s >> (WINDOW_BITS * (NUM_WINDOWS - 1 - w))) & (TABLE_SIZE - 1)
+    return out
+
+
+def _build_table(p: PointVec) -> PointVec:
+    """Stacked multiples table: entry d = d*P_i, d = 0..15; [16, n] points."""
+    entries = [infinity(p.batch_shape), p]
+    for _ in range(TABLE_SIZE - 2):
+        entries.append(add(entries[-1], p))
+    entries = [_settle(e) for e in entries]
+    return PointVec(fp.stack([e.x for e in entries]),
+                    fp.stack([e.y for e in entries]),
+                    fp.stack([e.z for e in entries]))
+
+
+def _onehot(digits: jnp.ndarray) -> jnp.ndarray:
+    """[...] int32 -> [16, ...] one-hot in the fp dtype."""
+    rng = jnp.arange(TABLE_SIZE, dtype=jnp.int32)
+    rng = rng.reshape((TABLE_SIZE,) + (1,) * digits.ndim)
+    return (digits[None] == rng).astype(fp.DTYPE)
+
+
+def _table_select(table: PointVec, digits: jnp.ndarray) -> PointVec:
+    """table [16, n], digits [n] -> [n] points, via one-hot contraction."""
+    oh = _onehot(digits)  # [16, n]
+    pick = lambda t: jnp.einsum("dnl,dn->nl", t, oh,
+                                precision=jax.lax.Precision.HIGHEST)
+    f = lambda c: Fp(pick(c.limbs), c.iv)
+    return PointVec(f(table.x), f(table.y), f(table.z))
+
+
+def _table_select_windows(table: PointVec, digits: jnp.ndarray) -> PointVec:
+    """table [16, n], digits [n, 64] -> [64, n] points."""
+    oh = _onehot(digits.T)  # [16, 64, n]
+    pick = lambda t: jnp.einsum("dnl,dwn->wnl", t, oh,
+                                precision=jax.lax.Precision.HIGHEST)
+    f = lambda c: Fp(pick(c.limbs), c.iv)
+    return PointVec(f(table.x), f(table.y), f(table.z))
+
+
+def _horner(windows: PointVec) -> PointVec:
+    """Combine [64] window sums MSB-first: acc = 16*acc + S_w."""
+    def body(i, acc):
+        for _ in range(WINDOW_BITS):
+            acc = double(acc)
+        w = pmap_coords(lambda a, i=i: a[i], windows)
+        w = PointVec(Fp(w.x.limbs, REDUCED), Fp(w.y.limbs, REDUCED),
+                     Fp(w.z.limbs, REDUCED))
+        return add(acc, w)
+
+    acc0 = _settle(infinity(()))
+    return jax.lax.fori_loop(0, NUM_WINDOWS, body, acc0)
+
+
+def msm_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
+    """Core MSM device program: points [n], digits [n, 64] -> one point."""
+    n = points.x.limbs.shape[0]
+    table = _build_table(points)
+    cur = _table_select_windows(table, digits)      # [64, n] points
+    cur = PointVec(Fp(cur.x.limbs, REDUCED), Fp(cur.y.limbs, REDUCED),
+                   Fp(cur.z.limbs, REDUCED))
+    m = n
+    while m > 1:
+        half = m // 2
+        a = pmap_coords(lambda t: t[:, :half], cur)
+        b = pmap_coords(lambda t: t[:, half:m], cur)
+        cur = add(a, b)
+        m = half
+    windows = pmap_coords(lambda t: t[:, 0], cur)   # [64] points
+    return _horner(windows)
+
+
+def scalar_mul_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
+    """Batched per-point scalar mult: out[i] = s_i * P_i. [n] points."""
+    table = _build_table(points)
+
+    def body(w, acc):
+        for _ in range(WINDOW_BITS):
+            acc = double(acc)
+        sel = _table_select(table, digits[:, w])
+        sel = PointVec(Fp(sel.x.limbs, REDUCED), Fp(sel.y.limbs, REDUCED),
+                       Fp(sel.z.limbs, REDUCED))
+        return add(acc, sel)
+
+    acc0 = _settle(infinity(points.batch_shape))
+    return jax.lax.fori_loop(0, NUM_WINDOWS, body, acc0)
+
+
+# -- host-facing cached-jit APIs --------------------------------------------
+
+def _pad_pow2(n: int, minimum: int = 8) -> int:
+    m = minimum
+    while m < n:
+        m *= 2
+    return m
+
+
+_jit_cache = {}
+
+
+def _compiled(name, fn):
+    if name not in _jit_cache:
+        _jit_cache[name] = jax.jit(fn)
+    return _jit_cache[name]
+
+
+def msm(points: Sequence[Affine], scalars: Sequence[int]) -> Affine:
+    """Host API: <scalars, points>, gnark MultiExp equivalent."""
+    if len(points) != len(scalars):
+        raise ValueError("msm: len(points) != len(scalars)")
+    if not points:
+        return None
+    n = _pad_pow2(len(points))
+    pts = list(points) + [None] * (n - len(points))
+    sc = [int(s) % fh.R for s in scalars] + [0] * (n - len(scalars))
+    pv = from_affine_host(pts)
+    digits = jnp.asarray(scalars_to_digits(sc))
+    out = _compiled("msm", msm_device)(pv, digits)
+    return to_affine_host_single(out)
+
+
+def batch_scalar_mul(points: Sequence[Affine], scalars: Sequence[int]) -> List[Affine]:
+    """Host API: [s_i * P_i] (the shuffle's k*Rs / k*Ss hot path,
+    /root/reference/common/util.go:55-63)."""
+    if len(points) != len(scalars):
+        raise ValueError("batch_scalar_mul: length mismatch")
+    if not points:
+        return []
+    n = _pad_pow2(len(points))
+    pts = list(points) + [None] * (n - len(points))
+    sc = [int(s) % fh.R for s in scalars] + [0] * (n - len(scalars))
+    pv = from_affine_host(pts)
+    digits = jnp.asarray(scalars_to_digits(sc))
+    out = _compiled("smul", scalar_mul_device)(pv, digits)
+    return to_affine_host(out)[: len(points)]

@@ -1,0 +1,168 @@
+"""BLS12-381 wire codec — ZCash-format points, BE scalars, gnark framing.
+
+Byte-exact with gnark-crypto's Encoder/Decoder as used by the reference for
+every Serialize/FromReader (/root/reference/whisk/types.go:41-72 and all
+proof serializers):
+
+  * G1 compressed: 48 bytes, big-endian x; top 3 bits of byte 0 are flags:
+      0b100 (0x80) compressed + y lexicographically smallest
+      0b101 (0xA0) compressed + y lexicographically largest
+      0b110 (0xC0) compressed point at infinity (rest zero)
+  * fr.Element: 32 bytes big-endian.
+  * slices: u32 big-endian length prefix, then elements.
+
+Decoding validates on-curve and (optionally) prime-order subgroup membership,
+like gnark's SetBytes. The subgroup check here is host-side; the batched
+verifier path uses the device kernel instead (ops/curve.py).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import List
+
+from . import field_host as fh
+from .field_host import Affine, P
+
+G1_COMPRESSED_SIZE = 48
+FR_SIZE = 32
+
+_M_COMPRESSED_SMALLEST = 0b100 << 5
+_M_COMPRESSED_LARGEST = 0b101 << 5
+_M_COMPRESSED_INFINITY = 0b110 << 5
+_M_UNCOMPRESSED = 0b000 << 5
+_M_UNCOMPRESSED_INFINITY = 0b010 << 5
+_M_MASK = 0b111 << 5
+
+
+def g1_to_bytes(pt: Affine) -> bytes:
+    """Compressed 48-byte encoding (gnark G1Affine.Bytes)."""
+    if pt is None:
+        out = bytearray(G1_COMPRESSED_SIZE)
+        out[0] = _M_COMPRESSED_INFINITY
+        return bytes(out)
+    x, y = pt
+    out = bytearray(x.to_bytes(G1_COMPRESSED_SIZE, "big"))
+    if fh.fp_lexicographically_largest(y):
+        out[0] |= _M_COMPRESSED_LARGEST
+    else:
+        out[0] |= _M_COMPRESSED_SMALLEST
+    return bytes(out)
+
+
+def g1_from_bytes(data: bytes, subgroup_check: bool = True) -> Affine:
+    """Decode a compressed (or uncompressed) G1 point with validation."""
+    if len(data) < G1_COMPRESSED_SIZE:
+        raise ValueError("short buffer for G1 point")
+    meta = data[0] & _M_MASK
+    if meta == _M_COMPRESSED_INFINITY:
+        if any(b for b in bytes([data[0] & ~_M_MASK & 0xFF]) + data[1:G1_COMPRESSED_SIZE]):
+            raise ValueError("invalid infinity encoding")
+        return None
+    if meta in (_M_UNCOMPRESSED, _M_UNCOMPRESSED_INFINITY):
+        return _g1_from_uncompressed(data, subgroup_check)
+    if meta not in (_M_COMPRESSED_SMALLEST, _M_COMPRESSED_LARGEST):
+        raise ValueError(f"invalid point encoding flags: {data[0]:#x}")
+    xb = bytearray(data[:G1_COMPRESSED_SIZE])
+    xb[0] &= ~_M_MASK & 0xFF
+    x = int.from_bytes(xb, "big")
+    if x >= P:
+        raise ValueError("x coordinate not canonical")
+    y = fh.fp_sqrt((x * x * x + fh.B_COEFF) % P)
+    if y is None:
+        raise ValueError("point not on curve")
+    if fh.fp_lexicographically_largest(y) != (meta == _M_COMPRESSED_LARGEST):
+        y = P - y
+    pt = (x, y)
+    if subgroup_check and not fh.g1_in_subgroup(pt):
+        raise ValueError("point not in prime-order subgroup")
+    return pt
+
+
+def g1_to_bytes_uncompressed(pt: Affine) -> bytes:
+    if pt is None:
+        out = bytearray(96)
+        out[0] = _M_UNCOMPRESSED_INFINITY
+        return bytes(out)
+    x, y = pt
+    return x.to_bytes(48, "big") + y.to_bytes(48, "big")
+
+
+def _g1_from_uncompressed(data: bytes, subgroup_check: bool) -> Affine:
+    if len(data) < 96:
+        raise ValueError("short buffer for uncompressed G1 point")
+    meta = data[0] & _M_MASK
+    if meta == _M_UNCOMPRESSED_INFINITY:
+        return None
+    xb = bytearray(data[:48])
+    xb[0] &= ~_M_MASK & 0xFF
+    x = int.from_bytes(xb, "big")
+    y = int.from_bytes(data[48:96], "big")
+    if x >= P or y >= P:
+        raise ValueError("coordinate not canonical")
+    pt = (x, y)
+    if not fh.g1_is_on_curve(pt):
+        raise ValueError("point not on curve")
+    if subgroup_check and not fh.g1_in_subgroup(pt):
+        raise ValueError("point not in prime-order subgroup")
+    return pt
+
+
+def fr_to_bytes(x: int) -> bytes:
+    return (x % fh.R).to_bytes(FR_SIZE, "big")
+
+
+def fr_from_bytes(data: bytes) -> int:
+    """gnark Decoder semantics for fr.Element: big-endian, reduced mod r."""
+    if len(data) < FR_SIZE:
+        raise ValueError("short buffer for fr element")
+    return int.from_bytes(data[:FR_SIZE], "big") % fh.R
+
+
+def fr_from_bytes_canonical(data: bytes) -> int:
+    """SetBytesCanonical: reject values >= r (transcript / Rand rejection)."""
+    v = int.from_bytes(data[:FR_SIZE], "big")
+    if v >= fh.R:
+        raise ValueError("non-canonical scalar")
+    return v
+
+
+class Encoder:
+    """gnark-style encoder: points compressed, u32 BE length-prefixed slices."""
+
+    def __init__(self, w: io.BufferedIOBase):
+        self.w = w
+
+    def write_point(self, pt: Affine) -> None:
+        self.w.write(g1_to_bytes(pt))
+
+    def write_points(self, pts: List[Affine]) -> None:
+        self.w.write(struct.pack(">I", len(pts)))
+        for pt in pts:
+            self.write_point(pt)
+
+    def write_fr(self, x: int) -> None:
+        self.w.write(fr_to_bytes(x))
+
+
+class Decoder:
+    def __init__(self, r: io.BufferedIOBase, subgroup_check: bool = True):
+        self.r = r
+        self.subgroup_check = subgroup_check
+
+    def _read(self, n: int) -> bytes:
+        data = self.r.read(n)
+        if data is None or len(data) != n:
+            raise ValueError("unexpected EOF")
+        return data
+
+    def read_point(self) -> Affine:
+        return g1_from_bytes(self._read(G1_COMPRESSED_SIZE), self.subgroup_check)
+
+    def read_points(self) -> List[Affine]:
+        (n,) = struct.unpack(">I", self._read(4))
+        return [self.read_point() for _ in range(n)]
+
+    def read_fr(self) -> int:
+        return fr_from_bytes(self._read(FR_SIZE))
