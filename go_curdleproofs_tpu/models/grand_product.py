@@ -1,0 +1,178 @@
+"""Grand-product argument: proves prod bs[i] = p for committed bs.
+
+Mirrors /root/reference/grandproductargument/grandproductargument.go,
+reducing the product claim to an inner-product argument over rescaled bases.
+
+TPU mapping: the two O(n) base rescalings Gs' = Gs * beta^-i (the prover's
+hot loop, grandproductargument.go:94-103) run as one batched device
+scalar-mul; the verifier needs only O(1) group ops (Gsum/Hsum trick).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import BinaryIO, List
+
+from ..ops import curve
+from ..utils import codec
+from ..utils import field_host as fh
+from ..utils.field_host import Affine
+from ..utils.rand import Rand
+from ..utils.transcript import Transcript
+from . import inner_product
+from .msm_accumulator import MsmAccumulator
+
+LABEL_STEP1 = b"gprod_step1"
+LABEL_STEP2 = b"gprod_step2"
+LABEL_ALPHA = b"gprod_alpha"
+LABEL_BETA = b"gprod_beta"
+
+
+@dataclass
+class CRS:
+    gs: List[Affine]
+    hs: List[Affine]
+    h: Affine
+
+
+@dataclass
+class Proof:
+    c: Affine
+    r_p: int
+    ipa_proof: inner_product.Proof
+
+    def serialize(self, w: BinaryIO) -> None:
+        e = codec.Encoder(w)
+        e.write_point(self.c)
+        e.write_fr(self.r_p)
+        self.ipa_proof.serialize(w)
+
+    @classmethod
+    def from_reader(cls, r: BinaryIO) -> "Proof":
+        d = codec.Decoder(r)
+        c = d.read_point()
+        r_p = d.read_fr()
+        return cls(c, r_p, inner_product.Proof.from_reader(r))
+
+
+def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
+          transcript: Transcript, rand: Rand) -> Proof:
+    """grandproductargument.go:42-204."""
+    ell = len(crs.gs)
+
+    # Step 1
+    transcript.append_points(LABEL_STEP1, B)
+    transcript.append_scalars(LABEL_STEP1, result)
+    alpha = transcript.get_and_append_challenge(LABEL_ALPHA)
+
+    # Step 2: partial products cs[0]=1, cs[i] = cs[i-1]*bs[i-1]
+    cs = [1] * ell
+    for i in range(1, ell):
+        cs[i] = cs[i - 1] * bs[i - 1] % fh.R
+    r_cs = rand.get_frs(len(r_bs))
+    C = fh.g1_add(curve.msm(crs.gs, cs), curve.msm(crs.hs, r_cs))
+
+    r_b_plus_alpha = [(rb + alpha) % fh.R for rb in r_bs]
+    r_p = fh.fr_inner_product(r_b_plus_alpha, r_cs)
+
+    transcript.append_points(LABEL_STEP2, C)
+    transcript.append_scalars(LABEL_STEP2, r_p)
+    beta = transcript.get_and_append_challenge(LABEL_BETA)
+    if beta == 0:
+        raise ValueError("beta is zero")
+
+    # Step 3: rescale bases (batched device scalar-muls) and build D
+    beta_inv = fh.fr_inv(beta)
+    beta_inv_pows = []
+    acc = beta_inv
+    for _ in range(ell):
+        beta_inv_pows.append(acc)
+        acc = acc * beta_inv % fh.R
+    # acc == beta_inv^(ell+1)
+    gs_prime = curve.batch_scalar_mul(crs.gs, beta_inv_pows)
+    hs_prime = curve.batch_scalar_mul(crs.hs, [acc] * len(crs.hs))
+
+    bs_prime = []
+    tmp_beta = beta
+    for i in range(ell):
+        bs_prime.append(bs[i] * tmp_beta % fh.R)
+        tmp_beta = tmp_beta * beta % fh.R
+    # tmp_beta == beta^(ell+1) here, matching the reference's running power
+
+    ds = []
+    beta_powers = []
+    pw = 1
+    for i in range(ell):
+        ds.append((bs_prime[i] - pw) % fh.R)
+        beta_powers.append(pw)
+        pw = pw * beta % fh.R
+    # pw == beta^ell
+
+    beta_exp_l_plus_1 = pow(beta, ell + 1, fh.R)
+    r_ds = [beta_exp_l_plus_1 * v % fh.R for v in r_b_plus_alpha]
+    alpha_beta = [alpha * beta_exp_l_plus_1 % fh.R] * len(r_bs)
+
+    D = fh.g1_sub(B, curve.msm(gs_prime, beta_powers))
+    D = fh.g1_add(D, curve.msm(hs_prime, alpha_beta))
+
+    # Step 4
+    gs_full = list(crs.gs) + list(crs.hs)
+    gs_prime_full = list(gs_prime) + list(hs_prime)
+
+    z = (r_p * beta_exp_l_plus_1 + result * pw - 1) % fh.R
+
+    cs_full = cs + r_cs
+    ds_full = ds + r_ds
+
+    # prover self-checks (grandproductargument.go:156-177)
+    if fh.fr_inner_product(cs_full, ds_full) != z:
+        raise ValueError("IPA(C, D) != z")
+    if curve.msm(gs_full, cs_full) != C:
+        raise ValueError("msm(G, c) != C")
+    if curve.msm(gs_prime_full, ds_full) != D:
+        raise ValueError("msm(G', d) != D")
+
+    ipa_crs = inner_product.CRS(gs_full, gs_prime_full, crs.h)
+    ipa_proof = inner_product.prove(ipa_crs, C, D, z, cs_full, ds_full,
+                                    transcript, rand)
+    return Proof(C, r_p, ipa_proof)
+
+
+def verify(proof: Proof, crs: CRS, gsum: Affine, hsum: Affine, B: Affine,
+           result: int, num_blinders: int, transcript: Transcript,
+           msm_accumulator: MsmAccumulator, rand: Rand) -> bool:
+    """grandproductargument.go:206-286: O(1) group ops via Gsum/Hsum."""
+    ell = len(crs.gs)
+
+    # Step 1
+    transcript.append_points(LABEL_STEP1, B)
+    transcript.append_scalars(LABEL_STEP1, result)
+    alpha = transcript.get_and_append_challenge(LABEL_ALPHA)
+
+    # Step 2
+    transcript.append_points(LABEL_STEP2, proof.c)
+    transcript.append_scalars(LABEL_STEP2, proof.r_p)
+    beta = transcript.get_and_append_challenge(LABEL_BETA)
+    if beta == 0:
+        raise ValueError("beta is zero")
+
+    # Step 3: us[i] = beta^-(i+1) (i < ell), then beta^-(ell+1) for blinders
+    beta_inv = fh.fr_inv(beta)
+    us = []
+    acc = beta_inv
+    for _ in range(ell):
+        us.append(acc)
+        acc = acc * beta_inv % fh.R
+    us.extend([acc] * num_blinders)
+
+    D = fh.g1_sub(B, fh.g1_mul(gsum, beta_inv))
+    D = fh.g1_add(D, fh.g1_mul(hsum, alpha))
+
+    # Step 4
+    gs_full = list(crs.gs) + list(crs.hs)
+    beta_exp_l = pow(beta, ell, fh.R)
+    z = (proof.r_p * beta_exp_l % fh.R * beta + result * beta_exp_l - 1) % fh.R
+
+    ipa_crs = inner_product.CRS(gs_full, [], crs.h)
+    return inner_product.verify(proof.ipa_proof, ipa_crs, proof.c, D, z, us,
+                                transcript, msm_accumulator, rand)

@@ -1,0 +1,188 @@
+"""Same-multiscalar argument (Bulletproofs-style folding over three bases).
+
+Proves A = <x, G>, Z_t = <x, T>, Z_u = <x, U> share the same scalar vector x.
+Mirrors /root/reference/samemultiscalarargument/samemultiscalarargument.go.
+
+TPU mapping: G, T, U stay on-device for the whole recursion; each round's six
+cross-term MSMs and three base folds are fixed-width masked device programs
+(one compiled executable across all rounds).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import BinaryIO, List, Sequence
+
+from ..ops import curve
+from ..utils import codec
+from ..utils import field_host as fh
+from ..utils.field_host import Affine
+from ..utils.rand import Rand
+from ..utils.transcript import Transcript
+from .msm_accumulator import MsmAccumulator
+
+LABEL_STEP1 = b"same_msm_step1"
+LABEL_ALPHA = b"same_msm_alpha"
+LABEL_LOOP = b"same_msm_loop"
+LABEL_GAMMA = b"same_msm_gamma"
+
+MAX_RECURSIVE_STEPS = 32
+
+
+@dataclass
+class Proof:
+    b_a: Affine
+    b_t: Affine
+    b_u: Affine
+    l_a: List[Affine] = field(default_factory=list)
+    l_t: List[Affine] = field(default_factory=list)
+    l_u: List[Affine] = field(default_factory=list)
+    r_a: List[Affine] = field(default_factory=list)
+    r_t: List[Affine] = field(default_factory=list)
+    r_u: List[Affine] = field(default_factory=list)
+    x: int = 0
+
+    def serialize(self, w: BinaryIO) -> None:
+        e = codec.Encoder(w)
+        e.write_point(self.b_a)
+        e.write_point(self.b_t)
+        e.write_point(self.b_u)
+        e.write_points(self.l_a)
+        e.write_points(self.l_t)
+        e.write_points(self.l_u)
+        e.write_points(self.r_a)
+        e.write_points(self.r_t)
+        e.write_points(self.r_u)
+        e.write_fr(self.x)
+
+    @classmethod
+    def from_reader(cls, r: BinaryIO) -> "Proof":
+        d = codec.Decoder(r)
+        return cls(d.read_point(), d.read_point(), d.read_point(),
+                   d.read_points(), d.read_points(), d.read_points(),
+                   d.read_points(), d.read_points(), d.read_points(),
+                   d.read_fr())
+
+
+def prove(G: List[Affine], A: Affine, Z_t: Affine, Z_u: Affine,
+          T: List[Affine], U: List[Affine], x: List[int],
+          transcript: Transcript, rand: Rand) -> Proof:
+    """samemultiscalarargument.go:37-157."""
+    n = len(x)
+
+    r = rand.get_frs(n)
+
+    g_dev = curve.DeviceVec.from_affine(G)
+    t_dev = curve.DeviceVec.from_affine(T)
+    u_dev = curve.DeviceVec.from_affine(U)
+
+    b_a = g_dev.msm(r)
+    b_t = t_dev.msm(r)
+    b_u = u_dev.msm(r)
+
+    transcript.append_points(LABEL_STEP1, A, Z_t, Z_u)
+    transcript.append_points(LABEL_STEP1, *T)
+    transcript.append_points(LABEL_STEP1, *U)
+    transcript.append_points(LABEL_STEP1, b_a, b_t, b_u)
+    alpha = transcript.get_and_append_challenge(LABEL_ALPHA)
+
+    x = [(ri + xi * alpha) % fh.R for ri, xi in zip(r, x)]
+
+    l_as: List[Affine] = []
+    l_ts: List[Affine] = []
+    l_us: List[Affine] = []
+    r_as: List[Affine] = []
+    r_ts: List[Affine] = []
+    r_us: List[Affine] = []
+
+    while len(x) > 1:
+        half = len(x) // 2
+        x_l, x_r = x[:half], x[half:]
+
+        l_a = g_dev.msm(x_l, offset=half)
+        l_t = t_dev.msm(x_l, offset=half)
+        l_u = u_dev.msm(x_l, offset=half)
+        r_a = g_dev.msm(x_r, offset=0)
+        r_t = t_dev.msm(x_r, offset=0)
+        r_u = u_dev.msm(x_r, offset=0)
+
+        l_as.append(l_a)
+        l_ts.append(l_t)
+        l_us.append(l_u)
+        r_as.append(r_a)
+        r_ts.append(r_t)
+        r_us.append(r_u)
+
+        transcript.append_points(LABEL_LOOP, l_a, l_t, l_u, r_a, r_t, r_u)
+        gamma = transcript.get_and_append_challenge(LABEL_GAMMA)
+        if gamma == 0:
+            raise ValueError("gamma is zero")
+        gamma_inv = fh.fr_inv(gamma)
+
+        x = [(xl + gamma_inv * xr) % fh.R for xl, xr in zip(x_l, x_r)]
+        g_dev = g_dev.fold(gamma)
+        t_dev = t_dev.fold(gamma)
+        u_dev = u_dev.fold(gamma)
+
+    return Proof(b_a, b_t, b_u, l_as, l_ts, l_us, r_as, r_ts, r_us, x[0])
+
+
+def unfolded_scalars(proof: Proof, n: int, transcript: Transcript):
+    """Replay challenges and build the bit-decomposition scalars ss
+    (samemultiscalarargument.go:239-280)."""
+    lg_n = len(proof.l_a)
+    if lg_n >= MAX_RECURSIVE_STEPS:
+        raise ValueError("recursive steps greater than expected")
+    if n != (1 << lg_n):
+        raise ValueError("must be log2(L_a)")
+
+    challenges = []
+    for i in range(lg_n):
+        transcript.append_points(LABEL_LOOP, proof.l_a[i], proof.l_t[i],
+                                 proof.l_u[i], proof.r_a[i], proof.r_t[i],
+                                 proof.r_u[i])
+        challenges.append(transcript.get_and_append_challenge(LABEL_GAMMA))
+
+    ss = []
+    for i in range(n):
+        tmp = 1
+        for k in range(lg_n - 1, -1, -1):
+            if i & (1 << (lg_n - k - 1)):
+                tmp = tmp * challenges[k] % fh.R
+        ss.append(tmp)
+
+    return challenges, fh.fr_batch_inv(challenges), ss
+
+
+def verify(proof: Proof, G: List[Affine], A: Affine, Z_t: Affine,
+           Z_u: Affine, T: List[Affine], U: List[Affine],
+           transcript: Transcript, msm_accumulator: MsmAccumulator,
+           rand: Rand) -> bool:
+    """samemultiscalarargument.go:159-235 (three deferred checks)."""
+    n = len(T)
+
+    transcript.append_points(LABEL_STEP1, A, Z_t, Z_u)
+    transcript.append_points(LABEL_STEP1, *T)
+    transcript.append_points(LABEL_STEP1, *U)
+    transcript.append_points(LABEL_STEP1, proof.b_a, proof.b_t, proof.b_u)
+    alpha = transcript.get_and_append_challenge(LABEL_ALPHA)
+
+    gamma, gamma_inv, s = unfolded_scalars(proof, n, transcript)
+    xtimess = [proof.x * si % fh.R for si in s]
+
+    a_a = fh.g1_add(proof.b_a, fh.g1_mul(A, alpha))
+    z_t_a = fh.g1_add(proof.b_t, fh.g1_mul(Z_t, alpha))
+    z_u_a = fh.g1_add(proof.b_u, fh.g1_mul(Z_u, alpha))
+
+    p = fh.g1_add(a_a, fh.g1_add(curve.msm(proof.l_a, gamma),
+                                 curve.msm(proof.r_a, gamma_inv)))
+    msm_accumulator.accumulate_check(p, xtimess, G, rand)
+
+    p = fh.g1_add(z_t_a, fh.g1_add(curve.msm(proof.l_t, gamma),
+                                   curve.msm(proof.r_t, gamma_inv)))
+    msm_accumulator.accumulate_check(p, xtimess, T, rand)
+
+    p = fh.g1_add(z_u_a, fh.g1_add(curve.msm(proof.l_u, gamma),
+                                   curve.msm(proof.r_u, gamma_inv)))
+    msm_accumulator.accumulate_check(p, xtimess, U, rand)
+    return True

@@ -183,14 +183,27 @@ def scalars_to_digits(scalars: Sequence[int]) -> np.ndarray:
 
 
 def _build_table(p: PointVec) -> PointVec:
-    """Stacked multiples table: entry d = d*P_i, d = 0..15; [16, n] points."""
-    entries = [infinity(p.batch_shape), p]
-    for _ in range(TABLE_SIZE - 2):
-        entries.append(add(entries[-1], p))
-    entries = [_settle(e) for e in entries]
-    return PointVec(fp.stack([e.x for e in entries]),
-                    fp.stack([e.y for e in entries]),
-                    fp.stack([e.z for e in entries]))
+    """Stacked multiples table: entry d = d*P_i, d = 0..15; [16, n] points.
+
+    Built under lax.fori_loop (15 dependent batched adds share ONE traced
+    add body — keeps the compiled graph small)."""
+    p = _settle(p)
+    shape = (TABLE_SIZE,) + p.x.limbs.shape
+    inf = _settle(infinity(p.batch_shape))
+    bufs = tuple(
+        jnp.zeros(shape, dtype=fp.DTYPE).at[0].set(c0.limbs).at[1].set(c1.limbs)
+        for c0, c1 in zip(inf, p))
+
+    def body(d, bufs):
+        bx, by, bz = bufs
+        prev = PointVec(Fp(bx[d - 1], REDUCED), Fp(by[d - 1], REDUCED),
+                        Fp(bz[d - 1], REDUCED))
+        nxt = add(prev, p)
+        return (bx.at[d].set(nxt.x.limbs), by.at[d].set(nxt.y.limbs),
+                bz.at[d].set(nxt.z.limbs))
+
+    bx, by, bz = jax.lax.fori_loop(2, TABLE_SIZE, body, bufs)
+    return PointVec(Fp(bx, REDUCED), Fp(by, REDUCED), Fp(bz, REDUCED))
 
 
 def _onehot(digits: jnp.ndarray) -> jnp.ndarray:
@@ -232,6 +245,35 @@ def _horner(windows: PointVec) -> PointVec:
     return jax.lax.fori_loop(0, NUM_WINDOWS, body, acc0)
 
 
+def _reduce_points_axis(cur: PointVec, axis_len: int,
+                        unroll_to: int = 64) -> PointVec:
+    """Sum [64, m] points over the m axis.
+
+    Big levels are unrolled (halving shapes keep the work minimal); once the
+    width drops to `unroll_to`, the tail runs as a lax.fori_loop log-step
+    roll-reduction (lane i += lane i+2^k; lane 0 ends holding the total) so
+    the remaining log2 levels share ONE traced add body.
+    """
+    m = axis_len
+    while m > unroll_to:
+        half = m // 2
+        a = pmap_coords(lambda t: t[:, :half], cur)
+        b = pmap_coords(lambda t: t[:, half:m], cur)
+        cur = add(a, b)
+        m = half
+    if m > 1:
+        steps = m.bit_length() - 1
+
+        def body(i, c):
+            h = jnp.right_shift(jnp.int32(m), i + 1)
+            rolled = pmap_coords(
+                lambda t: jnp.roll(t, -h, axis=1), c)
+            return add(c, rolled)
+
+        cur = jax.lax.fori_loop(0, steps, body, cur)
+    return pmap_coords(lambda t: t[:, 0], cur)
+
+
 def msm_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
     """Core MSM device program: points [n], digits [n, 64] -> one point."""
     n = points.x.limbs.shape[0]
@@ -239,14 +281,7 @@ def msm_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
     cur = _table_select_windows(table, digits)      # [64, n] points
     cur = PointVec(Fp(cur.x.limbs, REDUCED), Fp(cur.y.limbs, REDUCED),
                    Fp(cur.z.limbs, REDUCED))
-    m = n
-    while m > 1:
-        half = m // 2
-        a = pmap_coords(lambda t: t[:, :half], cur)
-        b = pmap_coords(lambda t: t[:, half:m], cur)
-        cur = add(a, b)
-        m = half
-    windows = pmap_coords(lambda t: t[:, 0], cur)   # [64] points
+    windows = _reduce_points_axis(cur, n)           # [64] points
     return _horner(windows)
 
 
@@ -264,6 +299,24 @@ def scalar_mul_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
 
     acc0 = _settle(infinity(points.batch_shape))
     return jax.lax.fori_loop(0, NUM_WINDOWS, body, acc0)
+
+
+def fold_device(pv: PointVec, digits: jnp.ndarray, h: jnp.ndarray) -> PointVec:
+    """One folding-round base update (IPA / same-multiscalar inner loop,
+    /root/reference/innerproductargument/innerproductargument.go:155-166):
+
+        out[i] = pv[i] + gamma * pv[i + h]   for i < h;  infinity otherwise.
+
+    h is a *traced* scalar so every round of the log-n recursion reuses the
+    same compiled fixed-width program (the reference instead loops with
+    shrinking slices; fixed shapes are what XLA wants).
+    """
+    n = pv.x.limbs.shape[0]
+    rolled = pmap_coords(lambda t: jnp.roll(t, -h, axis=0), pv)
+    scaled = scalar_mul_device(rolled, digits)
+    folded = add(pv, scaled)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    return select(lane < h, folded, _settle(infinity((n,))))
 
 
 # -- host-facing cached-jit APIs --------------------------------------------
@@ -284,19 +337,68 @@ def _compiled(name, fn):
     return _jit_cache[name]
 
 
-def msm(points: Sequence[Affine], scalars: Sequence[int]) -> Affine:
-    """Host API: <scalars, points>, gnark MultiExp equivalent."""
+def msm(points: Sequence[Affine], scalars: Sequence[int],
+        pad_to: int = 0) -> Affine:
+    """Host API: <scalars, points>, gnark MultiExp equivalent.
+
+    pad_to: optional fixed padding size — the folding arguments pass their
+    initial n so every round reuses ONE compiled shape instead of compiling
+    log(n) shrinking shapes.
+    """
     if len(points) != len(scalars):
         raise ValueError("msm: len(points) != len(scalars)")
     if not points:
         return None
-    n = _pad_pow2(len(points))
+    n = _pad_pow2(max(len(points), pad_to))
     pts = list(points) + [None] * (n - len(points))
     sc = [int(s) % fh.R for s in scalars] + [0] * (n - len(scalars))
     pv = from_affine_host(pts)
     digits = jnp.asarray(scalars_to_digits(sc))
     out = _compiled("msm", msm_device)(pv, digits)
     return to_affine_host_single(out)
+
+
+class DeviceVec:
+    """A device-resident, fixed-width vector of G1 points.
+
+    The folding arguments keep their bases on-device across all log(n)
+    rounds: only the per-round L/R cross terms (single points) cross the
+    host boundary for the Fiat-Shamir transcript. Width N is fixed (padded
+    with infinity) so every round hits the same compiled executables.
+    """
+
+    def __init__(self, pv: PointVec, n_valid: int):
+        self.pv = pv
+        self.n_valid = n_valid
+        self.width = pv.x.limbs.shape[0]
+
+    @classmethod
+    def from_affine(cls, pts: Sequence[Affine], pad_to: int = 0) -> "DeviceVec":
+        n = _pad_pow2(max(len(pts), pad_to))
+        pv = from_affine_host(list(pts) + [None] * (n - len(pts)))
+        return cls(pv, len(pts))
+
+    def msm(self, scalars: Sequence[int], offset: int = 0) -> Affine:
+        """<scalars, self[offset : offset+len(scalars)]>."""
+        sc = [0] * self.width
+        for i, s in enumerate(scalars):
+            sc[offset + i] = int(s) % fh.R
+        digits = jnp.asarray(scalars_to_digits(sc))
+        out = _compiled("msm", msm_device)(self.pv, digits)
+        return to_affine_host_single(out)
+
+    def fold(self, gamma: int) -> "DeviceVec":
+        """self'[i] = self[i] + gamma*self[i + n/2], halving n_valid."""
+        h = self.n_valid // 2
+        digits = jnp.asarray(
+            np.broadcast_to(scalars_to_digits([gamma % fh.R]),
+                            (self.width, NUM_WINDOWS)))
+        pv = _compiled("fold", fold_device)(self.pv, digits,
+                                            jnp.int32(h))
+        return DeviceVec(pv, h)
+
+    def to_affine(self) -> List[Affine]:
+        return to_affine_host(self.pv)[: self.n_valid]
 
 
 def batch_scalar_mul(points: Sequence[Affine], scalars: Sequence[int]) -> List[Affine]:
