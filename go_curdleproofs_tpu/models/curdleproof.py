@@ -115,8 +115,8 @@ def prove(crs: CRS, Rs: List[Affine], Ss: List[Affine], Ts: List[Affine],
     rs_a = rand.get_frs(N_BLINDERS - 2)
     rs_a_prime = rs_a + [0, 0]
     perm_as = same_permutation.permute(as_, perm)
-    A = fh.g1_add(curve.msm(crs.gs, perm_as),
-                  curve.msm(crs.hs, rs_a_prime))
+    gh = curve.StackedVec.from_affine([crs.gs, crs.hs])
+    (A,) = gh.msm_many([[(0, perm_as, 0), (1, rs_a_prime, 0)]])
 
     proof_same_perm = same_permutation.prove(
         same_permutation.CRS(crs.gs, crs.hs, crs.h),
@@ -125,8 +125,8 @@ def prove(crs: CRS, Rs: List[Affine], Ss: List[Affine], Ts: List[Affine],
     # Step 3
     r_t = rand.get_fr()
     r_u = rand.get_fr()
-    R = curve.msm(Rs, as_)
-    S = curve.msm(Ss, as_)
+    R, S = curve.StackedVec.from_affine([Rs, Ss]).msm_many(
+        [[(0, as_, 0)], [(1, as_, 0)]])
     cm_t = GroupCommitment.new(crs.gt, crs.h, fh.g1_mul(R, k), r_t)
     cm_u = GroupCommitment.new(crs.gu, crs.h, fh.g1_mul(S, k), r_u)
 
@@ -211,7 +211,7 @@ def shuffle_permute_commit(crs_gs: List[Affine], crs_hs: List[Affine],
     Us = same_permutation.permute(scaled[n:], perm)
 
     perm_range = same_permutation.permute(list(range(len(crs_gs))), perm)
-    M = curve.msm(crs_gs, perm_range)
     rs_m = rand.get_frs(N_BLINDERS)
-    M = fh.g1_add(M, curve.msm(crs_hs, rs_m))
+    (M,) = curve.StackedVec.from_affine([crs_gs, crs_hs]).msm_many(
+        [[(0, perm_range, 0), (1, rs_m, 0)]])
     return Ts, Us, M, rs_m

@@ -70,7 +70,10 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
     for i in range(1, ell):
         cs[i] = cs[i - 1] * bs[i - 1] % fh.R
     r_cs = rand.get_frs(len(r_bs))
-    C = fh.g1_add(curve.msm(crs.gs, cs), curve.msm(crs.hs, r_cs))
+    # device-resident bases [Gs, Hs], shared by every MSM below
+    width = len(crs.gs) + len(crs.hs)
+    gh = curve.StackedVec.from_affine([crs.gs, crs.hs], pad_to=width)
+    (C,) = gh.msm_many([[(0, cs, 0), (1, r_cs, 0)]])
 
     r_b_plus_alpha = [(rb + alpha) % fh.R for rb in r_bs]
     r_p = fh.fr_inner_product(r_b_plus_alpha, r_cs)
@@ -81,7 +84,8 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
     if beta == 0:
         raise ValueError("beta is zero")
 
-    # Step 3: rescale bases (batched device scalar-muls) and build D
+    # Step 3: rescale bases — ONE batched device scalar-mul, no fetch;
+    # the rescaled bases stay on device for D, the self-check and the IPA.
     beta_inv = fh.fr_inv(beta)
     beta_inv_pows = []
     acc = beta_inv
@@ -89,8 +93,7 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
         beta_inv_pows.append(acc)
         acc = acc * beta_inv % fh.R
     # acc == beta_inv^(ell+1)
-    gs_prime = curve.batch_scalar_mul(crs.gs, beta_inv_pows)
-    hs_prime = curve.batch_scalar_mul(crs.hs, [acc] * len(crs.hs))
+    gh_prime = gh.scaled_rows([beta_inv_pows, [acc] * len(crs.hs)])
 
     bs_prime = []
     tmp_beta = beta
@@ -112,30 +115,51 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
     r_ds = [beta_exp_l_plus_1 * v % fh.R for v in r_b_plus_alpha]
     alpha_beta = [alpha * beta_exp_l_plus_1 % fh.R] * len(r_bs)
 
-    D = fh.g1_sub(B, curve.msm(gs_prime, beta_powers))
-    D = fh.g1_add(D, curve.msm(hs_prime, alpha_beta))
-
-    # Step 4
-    gs_full = list(crs.gs) + list(crs.hs)
-    gs_prime_full = list(gs_prime) + list(hs_prime)
-
     z = (r_p * beta_exp_l_plus_1 + result * pw - 1) % fh.R
-
     cs_full = cs + r_cs
     ds_full = ds + r_ds
 
-    # prover self-checks (grandproductargument.go:156-177)
+    # D = B - <beta_powers, Gs'> + <alpha*beta^(l+1), Hs'>, and the prover
+    # self-check msm(G', d) (grandproductargument.go:111-177) — one call.
+    neg_beta_powers = [(-b) % fh.R for b in beta_powers]
+    d_part, selfcheck2 = gh_prime.msm_many([
+        [(0, neg_beta_powers, 0), (1, alpha_beta, 0)],
+        [(0, ds, 0), (1, r_ds, 0)]])
+    D = fh.g1_add(B, d_part)
+
+    # prover self-checks (grandproductargument.go:156-177); msm(G,c)==C is
+    # what computed C above, so only the scalar identity and G' check remain
     if fh.fr_inner_product(cs_full, ds_full) != z:
         raise ValueError("IPA(C, D) != z")
-    if curve.msm(gs_full, cs_full) != C:
-        raise ValueError("msm(G, c) != C")
-    if curve.msm(gs_prime_full, ds_full) != D:
+    if selfcheck2 != D:
         raise ValueError("msm(G', d) != D")
 
-    ipa_crs = inner_product.CRS(gs_full, gs_prime_full, crs.h)
+    # hand the IPA device-resident concatenated bases [Gs|Hs, Gs'|Hs']:
+    # rows (Gs, Hs, Gs', Hs') pairwise-merged at lane `ell`
+    merged = curve.StackedVec(_stack_pvs(gh.pv, gh_prime.pv),
+                              ell + len(crs.hs)).merge_pairs(ell)
+
+    gs_full = list(crs.gs) + list(crs.hs)
+    gs_prime_full: list = []  # device-resident; affine copies not needed
+    ipa_crs = inner_product.CRS(gs_full, gs_prime_full, crs.h,
+                                stacked=merged)
     ipa_proof = inner_product.prove(ipa_crs, C, D, z, cs_full, ds_full,
                                     transcript, rand)
     return Proof(C, r_p, ipa_proof)
+
+
+def _stack_pvs(a, b):
+    """Concatenate two [k, n] PointVecs along the row axis."""
+    import jax.numpy as jnp
+    from ..ops.fp import Fp
+    from ..ops import fp as _fp
+
+    def cat(x, y):
+        iv = (min(x.iv[0], y.iv[0]), max(x.iv[1], y.iv[1]),
+              min(x.iv[2], y.iv[2]), max(x.iv[3], y.iv[3]))
+        return Fp(jnp.concatenate([x.limbs, y.limbs], axis=0), iv)
+
+    return curve.PointVec(cat(a.x, b.x), cat(a.y, b.y), cat(a.z, b.z))
 
 
 def verify(proof: Proof, crs: CRS, gsum: Affine, hsum: Affine, B: Affine,

@@ -36,6 +36,9 @@ class CRS:
     gs: List[Affine]
     gs_prime: List[Affine]
     h: Affine
+    # optional device-resident [Gs, Gs'] (the grand-product prover hands its
+    # rescaled bases over without a host round-trip)
+    stacked: "curve.StackedVec" = None
 
 
 @dataclass
@@ -110,10 +113,9 @@ def prove(crs: CRS, C: Affine, D: Affine, z: int,
 
     # Step 1
     rs_c, rs_d = generate_ipa_blinders(rand, cs, ds)
-    gs_dev = curve.DeviceVec.from_affine(crs.gs)
-    gs_prime_dev = curve.DeviceVec.from_affine(crs.gs_prime)
-    b_c = gs_dev.msm(rs_c)
-    b_d = gs_prime_dev.msm(rs_d)
+    gg = crs.stacked if crs.stacked is not None else \
+        curve.StackedVec.from_affine([crs.gs, crs.gs_prime])
+    b_c, b_d = gg.msm_many([[(0, rs_c, 0)], [(1, rs_d, 0)]])
 
     transcript.append_points(LABEL_STEP1, C, D)
     transcript.append_scalars(LABEL_STEP1, z)
@@ -136,13 +138,13 @@ def prove(crs: CRS, C: Affine, D: Affine, z: int,
         c_l, c_r = cs[:half], cs[half:]
         d_l, d_r = ds[:half], ds[half:]
 
+        # all four cross-term MSMs in one device call + one fetch;
         # L_C = <c_L, G_R> + IPA(c_L, d_R)*H ; L_D = <d_R, G'_L>
-        l_c = fh.g1_add(gs_dev.msm(c_l, offset=half),
-                        fh.g1_mul(H, fh.fr_inner_product(c_l, d_r)))
-        l_d = gs_prime_dev.msm(d_r, offset=0)
-        r_c = fh.g1_add(gs_dev.msm(c_r, offset=0),
-                        fh.g1_mul(H, fh.fr_inner_product(c_r, d_l)))
-        r_d = gs_prime_dev.msm(d_l, offset=half)
+        l_c0, l_d, r_c0, r_d = gg.msm_many([
+            [(0, c_l, half)], [(1, d_r, 0)],
+            [(0, c_r, 0)], [(1, d_l, half)]])
+        l_c = fh.g1_add(l_c0, fh.g1_mul(H, fh.fr_inner_product(c_l, d_r)))
+        r_c = fh.g1_add(r_c0, fh.g1_mul(H, fh.fr_inner_product(c_r, d_l)))
 
         l_cs.append(l_c)
         l_ds.append(l_d)
@@ -157,8 +159,7 @@ def prove(crs: CRS, C: Affine, D: Affine, z: int,
 
         cs = [(cl + gamma_inv * cr) % fh.R for cl, cr in zip(c_l, c_r)]
         ds = [(dl + gamma * dr) % fh.R for dl, dr in zip(d_l, d_r)]
-        gs_dev = gs_dev.fold(gamma)
-        gs_prime_dev = gs_prime_dev.fold(gamma_inv)
+        gg = gg.fold([gamma, gamma_inv])
 
     return Proof(b_c, b_d, l_cs, r_cs, l_ds, r_ds, cs[0], ds[0])
 

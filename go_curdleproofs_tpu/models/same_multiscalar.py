@@ -72,13 +72,9 @@ def prove(G: List[Affine], A: Affine, Z_t: Affine, Z_u: Affine,
 
     r = rand.get_frs(n)
 
-    g_dev = curve.DeviceVec.from_affine(G)
-    t_dev = curve.DeviceVec.from_affine(T)
-    u_dev = curve.DeviceVec.from_affine(U)
-
-    b_a = g_dev.msm(r)
-    b_t = t_dev.msm(r)
-    b_u = u_dev.msm(r)
+    gtu = curve.StackedVec.from_affine([G, T, U])
+    b_a, b_t, b_u = gtu.msm_many(
+        [[(0, r, 0)], [(1, r, 0)], [(2, r, 0)]])
 
     transcript.append_points(LABEL_STEP1, A, Z_t, Z_u)
     transcript.append_points(LABEL_STEP1, *T)
@@ -99,12 +95,10 @@ def prove(G: List[Affine], A: Affine, Z_t: Affine, Z_u: Affine,
         half = len(x) // 2
         x_l, x_r = x[:half], x[half:]
 
-        l_a = g_dev.msm(x_l, offset=half)
-        l_t = t_dev.msm(x_l, offset=half)
-        l_u = u_dev.msm(x_l, offset=half)
-        r_a = g_dev.msm(x_r, offset=0)
-        r_t = t_dev.msm(x_r, offset=0)
-        r_u = u_dev.msm(x_r, offset=0)
+        # all six cross-term MSMs in one device call + one fetch
+        l_a, l_t, l_u, r_a, r_t, r_u = gtu.msm_many([
+            [(0, x_l, half)], [(1, x_l, half)], [(2, x_l, half)],
+            [(0, x_r, 0)], [(1, x_r, 0)], [(2, x_r, 0)]])
 
         l_as.append(l_a)
         l_ts.append(l_t)
@@ -120,9 +114,7 @@ def prove(G: List[Affine], A: Affine, Z_t: Affine, Z_u: Affine,
         gamma_inv = fh.fr_inv(gamma)
 
         x = [(xl + gamma_inv * xr) % fh.R for xl, xr in zip(x_l, x_r)]
-        g_dev = g_dev.fold(gamma)
-        t_dev = t_dev.fold(gamma)
-        u_dev = u_dev.fold(gamma)
+        gtu = gtu.fold(gamma)
 
     return Proof(b_a, b_t, b_u, l_as, l_ts, l_us, r_as, r_ts, r_us, x[0])
 

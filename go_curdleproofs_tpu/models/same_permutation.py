@@ -70,8 +70,12 @@ def prove(crs: CRS, A: Affine, M: Affine, as_: List[int],
         bs.append(b_i)
         p = p * b_i % fh.R
 
-    msm_betas_gs = curve.msm(crs.gs, [beta] * len(crs.gs))
-    B = fh.g1_add(A, fh.g1_add(fh.g1_mul(M, alpha), msm_betas_gs))
+    # <beta..beta, Gs> == beta * (sum Gs): two host scalar-muls instead of a
+    # device MSM round-trip (the group element is identical)
+    gsum = None
+    for g in crs.gs:
+        gsum = fh.g1_add(gsum, g)
+    B = fh.g1_add(A, fh.g1_add(fh.g1_mul(M, alpha), fh.g1_mul(gsum, beta)))
 
     rs_b = [(alpha * rm + ra) % fh.R for ra, rm in zip(rs_a, rs_m)]
 

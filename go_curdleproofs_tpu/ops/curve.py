@@ -147,10 +147,14 @@ def from_affine_host(pts: Sequence[Affine]) -> PointVec:
 
 
 def to_affine_host(p: PointVec) -> List[Affine]:
-    """Exact host-side projective->affine (bignum canonicalize + invert)."""
-    xs = fp.to_ints(p.x)
-    ys = fp.to_ints(p.y)
-    zs = fp.to_ints(p.z)
+    """Exact host-side projective->affine (bignum canonicalize + invert).
+
+    Fetches all three coordinate planes as ONE stacked transfer — each D2H
+    through the TPU tunnel costs ~25ms of latency regardless of size."""
+    stacked = np.asarray(jnp.stack([p.x.limbs, p.y.limbs, p.z.limbs]))
+    xs = fp.to_ints(stacked[0])
+    ys = fp.to_ints(stacked[1])
+    zs = fp.to_ints(stacked[2])
     out: List[Affine] = []
     for x, y, z in zip(xs, ys, zs):
         if z == 0:
@@ -214,40 +218,40 @@ def _onehot(digits: jnp.ndarray) -> jnp.ndarray:
 
 
 def _table_select(table: PointVec, digits: jnp.ndarray) -> PointVec:
-    """table [16, n], digits [n] -> [n] points, via one-hot contraction."""
-    oh = _onehot(digits)  # [16, n]
-    pick = lambda t: jnp.einsum("dnl,dn->nl", t, oh,
+    """table [16, ..., n], digits [..., n] -> [..., n] points."""
+    oh = _onehot(digits)  # [16, ..., n]
+    pick = lambda t: jnp.einsum("d...n,d...nl->...nl", oh, t,
                                 precision=jax.lax.Precision.HIGHEST)
     f = lambda c: Fp(pick(c.limbs), c.iv)
     return PointVec(f(table.x), f(table.y), f(table.z))
 
 
 def _table_select_windows(table: PointVec, digits: jnp.ndarray) -> PointVec:
-    """table [16, n], digits [n, 64] -> [64, n] points."""
-    oh = _onehot(digits.T)  # [16, 64, n]
-    pick = lambda t: jnp.einsum("dnl,dwn->wnl", t, oh,
+    """table [16, ..., n], digits [..., n, 64] -> [..., 64, n] points."""
+    oh = _onehot(digits)  # [16, ..., n, 64]
+    pick = lambda t: jnp.einsum("d...nw,d...nl->...wnl", oh, t,
                                 precision=jax.lax.Precision.HIGHEST)
     f = lambda c: Fp(pick(c.limbs), c.iv)
     return PointVec(f(table.x), f(table.y), f(table.z))
 
 
 def _horner(windows: PointVec) -> PointVec:
-    """Combine [64] window sums MSB-first: acc = 16*acc + S_w."""
+    """Combine [..., 64] window sums MSB-first: acc = 16*acc + S_w."""
     def body(i, acc):
         for _ in range(WINDOW_BITS):
             acc = double(acc)
-        w = pmap_coords(lambda a, i=i: a[i], windows)
+        w = pmap_coords(lambda a, i=i: a[..., i, :], windows)
         w = PointVec(Fp(w.x.limbs, REDUCED), Fp(w.y.limbs, REDUCED),
                      Fp(w.z.limbs, REDUCED))
         return add(acc, w)
 
-    acc0 = _settle(infinity(()))
+    acc0 = _settle(infinity(windows.x.limbs.shape[:-2]))
     return jax.lax.fori_loop(0, NUM_WINDOWS, body, acc0)
 
 
 def _reduce_points_axis(cur: PointVec, axis_len: int,
                         unroll_to: int = 64) -> PointVec:
-    """Sum [64, m] points over the m axis.
+    """Sum [..., m] points over the (second-to-last limb-array) m axis.
 
     Big levels are unrolled (halving shapes keep the work minimal); once the
     width drops to `unroll_to`, the tail runs as a lax.fori_loop log-step
@@ -257,8 +261,8 @@ def _reduce_points_axis(cur: PointVec, axis_len: int,
     m = axis_len
     while m > unroll_to:
         half = m // 2
-        a = pmap_coords(lambda t: t[:, :half], cur)
-        b = pmap_coords(lambda t: t[:, half:m], cur)
+        a = pmap_coords(lambda t: t[..., :half, :], cur)
+        b = pmap_coords(lambda t: t[..., half:m, :], cur)
         cur = add(a, b)
         m = half
     if m > 1:
@@ -267,32 +271,34 @@ def _reduce_points_axis(cur: PointVec, axis_len: int,
         def body(i, c):
             h = jnp.right_shift(jnp.int32(m), i + 1)
             rolled = pmap_coords(
-                lambda t: jnp.roll(t, -h, axis=1), c)
+                lambda t: jnp.roll(t, -h, axis=-2), c)
             return add(c, rolled)
 
         cur = jax.lax.fori_loop(0, steps, body, cur)
-    return pmap_coords(lambda t: t[:, 0], cur)
+    return pmap_coords(lambda t: t[..., 0, :], cur)
 
 
 def msm_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
-    """Core MSM device program: points [n], digits [n, 64] -> one point."""
-    n = points.x.limbs.shape[0]
+    """Core MSM device program: points [..., n], digits [..., n, 64] ->
+    [...] points. Leading dims batch independent MSMs (over shared OR
+    distinct bases) through one table/select/reduce/Horner pipeline."""
+    n = points.x.limbs.shape[-2]
     table = _build_table(points)
-    cur = _table_select_windows(table, digits)      # [64, n] points
+    cur = _table_select_windows(table, digits)      # [..., 64, n] points
     cur = PointVec(Fp(cur.x.limbs, REDUCED), Fp(cur.y.limbs, REDUCED),
                    Fp(cur.z.limbs, REDUCED))
-    windows = _reduce_points_axis(cur, n)           # [64] points
+    windows = _reduce_points_axis(cur, n)           # [..., 64] points
     return _horner(windows)
 
 
 def scalar_mul_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
-    """Batched per-point scalar mult: out[i] = s_i * P_i. [n] points."""
+    """Batched per-point scalar mult: out[i] = s_i * P_i, over [..., n]."""
     table = _build_table(points)
 
     def body(w, acc):
         for _ in range(WINDOW_BITS):
             acc = double(acc)
-        sel = _table_select(table, digits[:, w])
+        sel = _table_select(table, digits[..., w])
         sel = PointVec(Fp(sel.x.limbs, REDUCED), Fp(sel.y.limbs, REDUCED),
                        Fp(sel.z.limbs, REDUCED))
         return add(acc, sel)
@@ -311,12 +317,12 @@ def fold_device(pv: PointVec, digits: jnp.ndarray, h: jnp.ndarray) -> PointVec:
     same compiled fixed-width program (the reference instead loops with
     shrinking slices; fixed shapes are what XLA wants).
     """
-    n = pv.x.limbs.shape[0]
-    rolled = pmap_coords(lambda t: jnp.roll(t, -h, axis=0), pv)
+    n = pv.x.limbs.shape[-2]
+    rolled = pmap_coords(lambda t: jnp.roll(t, -h, axis=-2), pv)
     scaled = scalar_mul_device(rolled, digits)
     folded = add(pv, scaled)
     lane = jnp.arange(n, dtype=jnp.int32)
-    return select(lane < h, folded, _settle(infinity((n,))))
+    return select(lane < h, folded, _settle(infinity(folded.batch_shape)))
 
 
 # -- host-facing cached-jit APIs --------------------------------------------
@@ -356,6 +362,113 @@ def msm(points: Sequence[Affine], scalars: Sequence[int],
     digits = jnp.asarray(scalars_to_digits(sc))
     out = _compiled("msm", msm_device)(pv, digits)
     return to_affine_host_single(out)
+
+
+def msm_stacked_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
+    """MSMs over stacked bases with per-job digit sets.
+
+    points: [k, n]; digits: [m, k, n, 64] -> [m, k] points. The k base
+    vectors' multiples tables are built ONCE and shared by all m jobs (the
+    one-hot select broadcasts over the job axis)."""
+    n = points.x.limbs.shape[-2]
+    table = _build_table(points)                    # [16, k, n]
+    cur = _table_select_windows(table, digits)      # [m, k, 64, n]
+    cur = PointVec(Fp(cur.x.limbs, REDUCED), Fp(cur.y.limbs, REDUCED),
+                   Fp(cur.z.limbs, REDUCED))
+    windows = _reduce_points_axis(cur, n)           # [m, k, 64]
+    return _horner(windows)
+
+
+class StackedVec:
+    """k device-resident base vectors [k, n] folded/queried together.
+
+    The folding arguments (IPA: [Gs, Gs']; same-multiscalar: [G, T, U]) keep
+    all their bases stacked so each round is ONE device call computing every
+    cross-term MSM (one shared table/select/reduce/Horner pipeline) and ONE
+    batched fold — and the round's output points come back in a single ~25ms
+    D2H fetch instead of 6-9."""
+
+    def __init__(self, pv: PointVec, n_valid: int):
+        self.pv = pv                       # [k, n]
+        self.k = pv.x.limbs.shape[0]
+        self.width = pv.x.limbs.shape[1]
+        self.n_valid = n_valid
+
+    @classmethod
+    def from_affine(cls, vecs: Sequence[Sequence[Affine]],
+                    pad_to: int = 0) -> "StackedVec":
+        k = len(vecs)
+        n_valid = max(len(v) for v in vecs)
+        n = _pad_pow2(max(n_valid, pad_to))
+        flat = []
+        for v in vecs:
+            flat.extend(list(v) + [None] * (n - len(v)))
+        pv = from_affine_host(flat)
+        pv = pmap_coords(lambda t: t.reshape(k, n, -1), pv)
+        return cls(pv, n_valid)
+
+    def msm_many(self, jobs: Sequence[Sequence[tuple]]) -> List[Affine]:
+        """jobs[j] = list of (base_index, scalars, offset) triples summed into
+        output j: out[j] = sum_i <scalars_i, bases[b_i][off_i:off_i+len]>.
+        ONE device call + ONE fetch for all outputs."""
+        m = len(jobs)
+        digit_rows = np.zeros((m, self.k, self.width, NUM_WINDOWS),
+                              dtype=np.int32)
+        for j, terms in enumerate(jobs):
+            for (bi, scalars, offset) in terms:
+                sc = [0] * self.width
+                for i, s in enumerate(scalars):
+                    sc[offset + i] = int(s) % fh.R
+                digit_rows[j, bi] = scalars_to_digits(sc)
+        out = _compiled("msm_stacked", msm_stacked_device)(
+            self.pv, jnp.asarray(digit_rows))        # [m, k] points
+        flat = to_affine_host(out)                   # one stacked fetch
+        res = []
+        for j in range(m):
+            acc = None
+            row = flat[j * self.k: (j + 1) * self.k]
+            for bi in set(t[0] for t in jobs[j]):
+                acc = fh.g1_add(acc, row[bi])
+            res.append(acc)
+        return res
+
+    def fold(self, gammas) -> "StackedVec":
+        """Fold all k base rows; `gammas` is one scalar or one per row."""
+        h = self.n_valid // 2
+        if isinstance(gammas, int):
+            gammas = [gammas] * self.k
+        digits = np.stack([
+            np.broadcast_to(scalars_to_digits([g % fh.R]),
+                            (self.width, NUM_WINDOWS))
+            for g in gammas])
+        pv = _compiled("fold", fold_device)(self.pv, jnp.asarray(digits),
+                                            jnp.int32(h))
+        return StackedVec(pv, h)
+
+    def merge_pairs(self, split: int) -> "StackedVec":
+        """[2k, n] -> [k, n]: out[i] = row 2i for lanes < split, row 2i+1
+        shifted up by split for lanes >= split. Builds concatenated bases
+        like the IPA's Gs|Hs without leaving the device."""
+        def prog(pv):
+            a = pmap_coords(lambda t: t[0::2], pv)
+            b = pmap_coords(lambda t: jnp.roll(t[1::2], split, axis=-2), pv)
+            lane = jnp.arange(self.width, dtype=jnp.int32)
+            return select(lane < split, a, b)
+
+        pv = _compiled(f"merge{split}", jax.jit(prog))(self.pv)
+        return StackedVec(pv, self.n_valid)
+
+    def scaled_rows(self, scalar_rows: Sequence[Sequence[int]]) -> "StackedVec":
+        """Per-lane scalar multiplication of every row: row i lane j gets
+        scalar_rows[i][j] (missing lanes -> 0 -> infinity). One device call,
+        nothing fetched. (The grand-product base rescale,
+        /root/reference/grandproductargument/grandproductargument.go:94-103.)"""
+        digits = np.zeros((self.k, self.width, NUM_WINDOWS), dtype=np.int32)
+        for i, row in enumerate(scalar_rows):
+            digits[i, : len(row)] = scalars_to_digits(
+                [int(s) % fh.R for s in row])
+        pv = _compiled("smul", scalar_mul_device)(self.pv, jnp.asarray(digits))
+        return StackedVec(pv, self.n_valid)
 
 
 class DeviceVec:

@@ -282,18 +282,21 @@ class Field:
         the (< (k+1)*m) value by a float-estimated quotient times m and two
         conditional subtractions.
         """
-        a = self.carry_to(a, REDUCED)
-        # make strictly non-negative: add 2^9 * m (limbs fit comfortably)
-        offs = Element(jnp.asarray(
-            self._int_to_limbs_wide((1 << 9) * self.modulus).astype(NP_DTYPE)),
-            (0, EXACT_LIMIT - 1, 0, EXACT_LIMIT - 1))
-        x = a.limbs + offs.limbs          # value in [0, (2^9+1)*m)
+        # TIGHT is the fixed point of the carry pass: limbs in [-258, 512],
+        # top limb in [-3, 257]; value in (-5m, ~2^11 * m).
+        TIGHT = (-258, 512, -3, 257)
+        a = self.carry_to(a, TIGHT)
+        # Pass 1: subtract an under-estimated quotient computed on the LAZY
+        # limbs (slack 8 covers the estimate error and the negative range),
+        # leaving a non-negative value < ~12m < limb capacity — so the exact
+        # ripple cannot overflow.
+        q1 = self._quotient_estimate(a.limbs, slack=8.0)
+        x = a.limbs - q1[..., None] * self._m_limbs()
         x = self._exact_ripple(x)
-        # estimate q = value / m from the top digits (value < 2^10 * m)
-        q = self._quotient_estimate(x)
-        x = x - q[..., None] * self._m_limbs()
-        x = self._exact_ripple(x)
-        # x may be off by a couple of m; fix with conditional subtracts
+        # Pass 2: now digits are canonical; a second estimate is within 2.
+        q2 = self._quotient_estimate(x, slack=0.5)
+        x = self._exact_ripple(x - q2[..., None] * self._m_limbs())
+        # residual < 3m: finish with conditional subtracts
         for _ in range(3):
             ge = self._geq_digits(x, self._m_limbs())
             x = x - jnp.where(ge[..., None], self._m_limbs(), 0).astype(x.dtype)
@@ -331,18 +334,20 @@ class Field:
             0, n, body, (x, jnp.zeros(x.shape[:-1], dtype=x.dtype)))
         return x  # carry out must be folded by callers if value >= 2^(8n)
 
-    def _quotient_estimate(self, digits: jnp.ndarray) -> jnp.ndarray:
-        """floor(value/m) estimate (within ±1) for canonical digit arrays
-        with value < 2^14 * m, via f64-free float scaling of top digits."""
+    def _quotient_estimate(self, limbs: jnp.ndarray,
+                           slack: float) -> jnp.ndarray:
+        """floor(value/m) under-estimate for limb arrays (lazy or canonical)
+        with |value| < 2^14 * m, via float scaling. `slack` is subtracted
+        before flooring; it must dominate the float summation error plus,
+        for lazy inputs, the estimate/negative-value margin. May be
+        negative (callers subtract q*m, which then ADDS multiples of m)."""
         nl = self.nlimbs
         top_bits = self.modulus.bit_length()
-        # weight of digit k is 2^(8k); normalize by 2^(bitlen(m))
         scale = np.array([float(2.0 ** (8 * k - top_bits))
                           for k in range(nl)], dtype=np.float32)
-        approx = jnp.sum(digits.astype(jnp.float32) * scale, axis=-1)
+        approx = jnp.sum(limbs.astype(jnp.float32) * scale, axis=-1)
         m_norm = np.float32(self.modulus / (2.0 ** top_bits))
-        q = jnp.floor(approx / m_norm - 0.5)   # deliberate underestimate
-        return jnp.maximum(q, 0.0).astype(DTYPE)
+        return jnp.floor(approx / m_norm - slack).astype(DTYPE)
 
     def _geq_digits(self, x: jnp.ndarray, m_limbs: np.ndarray) -> jnp.ndarray:
         """Lexicographic >= for canonical digit arrays."""
