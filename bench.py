@@ -45,12 +45,16 @@ def main():
     print(f"# warmup prove (incl. compile): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    # verify correctness once
+    # verify correctness + steady-state timing (first call pays compiles)
     t0 = time.time()
     ok = curdleproof.verify(proof, crs, Rs, Ss, Ts, Us, M, Rand(1))
     verify_s = time.time() - t0
     assert ok, "benchmark proof failed to verify"
-    print(f"# verify: {verify_s*1e3:.1f} ms", file=sys.stderr)
+    print(f"# verify (cold, incl. compiles): {verify_s*1e3:.1f} ms",
+          file=sys.stderr)
+    t0 = time.time()
+    assert curdleproof.verify(proof, crs, Rs, Ss, Ts, Us, M, Rand(2))
+    print(f"# verify (steady): {(time.time()-t0)*1e3:.1f} ms", file=sys.stderr)
 
     # timed proves
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -62,6 +66,10 @@ def main():
     best_ms = min(times) * 1e3
     print(f"# prove times (ms): {[round(t*1e3,1) for t in times]}",
           file=sys.stderr)
+
+    from go_curdleproofs_tpu.utils import profiling
+    if profiling.ENABLED:
+        print(profiling.report(), file=sys.stderr)
 
     print(json.dumps({
         "metric": f"shuffle_prove_n{ell}_latency",

@@ -198,13 +198,18 @@ def verify(proof: Proof, crs: CRS, C: Affine, D: Affine, z: int,
                 s[i] = s[i] * gamma[m - j - 1] % fh.R
                 s_prime[i] = s_prime[i] * gamma_inv[m - j - 1] % fh.R
 
+    # the four L/R cross-term MSMs in one device call + one fetch
+    msm_lc, msm_rc, msm_ld, msm_rd = curve.msm_batch([
+        (proof.l_cs, gamma), (proof.r_cs, gamma_inv),
+        (proof.l_ds, gamma), (proof.r_ds, gamma_inv)])
+
     # Accumulate check 1
-    ac1 = fh.g1_add(curve.msm(proof.l_cs, gamma), proof.b_c)
+    ac1 = fh.g1_add(msm_lc, proof.b_c)
     ac1 = fh.g1_add(ac1, fh.g1_mul(C, alpha))
     alpha2z = alpha * alpha % fh.R * z % fh.R
     beta_h = fh.g1_mul(crs.h, beta)
     ac1 = fh.g1_add(ac1, fh.g1_mul(beta_h, alpha2z))
-    ac1 = fh.g1_add(ac1, curve.msm(proof.r_cs, gamma_inv))
+    ac1 = fh.g1_add(ac1, msm_rc)
 
     g_plus_h = list(crs.gs) + [crs.h]
     scalars = [si * proof.c0 % fh.R for si in s]
@@ -212,9 +217,9 @@ def verify(proof: Proof, crs: CRS, C: Affine, D: Affine, z: int,
     msm_accumulator.accumulate_check(ac1, scalars, g_plus_h, rand)
 
     # Accumulate check 2
-    ac2 = fh.g1_add(curve.msm(proof.l_ds, gamma), proof.b_d)
+    ac2 = fh.g1_add(msm_ld, proof.b_d)
     ac2 = fh.g1_add(ac2, fh.g1_mul(D, alpha))
-    ac2 = fh.g1_add(ac2, curve.msm(proof.r_ds, gamma_inv))
+    ac2 = fh.g1_add(ac2, msm_rd)
     scalars2 = [sp * ui % fh.R * proof.d0 % fh.R
                 for sp, ui in zip(s_prime, us)]
     msm_accumulator.accumulate_check(ac2, scalars2, list(crs.gs), rand)

@@ -166,15 +166,18 @@ def verify(proof: Proof, G: List[Affine], A: Affine, Z_t: Affine,
     z_t_a = fh.g1_add(proof.b_t, fh.g1_mul(Z_t, alpha))
     z_u_a = fh.g1_add(proof.b_u, fh.g1_mul(Z_u, alpha))
 
-    p = fh.g1_add(a_a, fh.g1_add(curve.msm(proof.l_a, gamma),
-                                 curve.msm(proof.r_a, gamma_inv)))
+    # all six L/R cross-term MSMs in one device call + one fetch
+    la, ra, lt, rt, lu, ru = curve.msm_batch([
+        (proof.l_a, gamma), (proof.r_a, gamma_inv),
+        (proof.l_t, gamma), (proof.r_t, gamma_inv),
+        (proof.l_u, gamma), (proof.r_u, gamma_inv)])
+
+    p = fh.g1_add(a_a, fh.g1_add(la, ra))
     msm_accumulator.accumulate_check(p, xtimess, G, rand)
 
-    p = fh.g1_add(z_t_a, fh.g1_add(curve.msm(proof.l_t, gamma),
-                                   curve.msm(proof.r_t, gamma_inv)))
+    p = fh.g1_add(z_t_a, fh.g1_add(lt, rt))
     msm_accumulator.accumulate_check(p, xtimess, T, rand)
 
-    p = fh.g1_add(z_u_a, fh.g1_add(curve.msm(proof.l_u, gamma),
-                                   curve.msm(proof.r_u, gamma_inv)))
+    p = fh.g1_add(z_u_a, fh.g1_add(lu, ru))
     msm_accumulator.accumulate_check(p, xtimess, U, rand)
     return True

