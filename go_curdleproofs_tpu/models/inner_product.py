@@ -111,6 +111,13 @@ def prove(crs: CRS, C: Affine, D: Affine, z: int,
     if n & (n - 1) != 0:
         raise ValueError("cs and ds are not a power of two")
 
+    import os
+    if os.environ.get("CURDLE_DEVICE_PROVER", "0") == "1":
+        from . import device_prover
+        return device_prover.prove_ipa_on_device(
+            crs.gs, crs.gs_prime, crs.h, C, D, z, cs, ds, transcript, rand,
+            stacked=crs.stacked)
+
     # Step 1
     rs_c, rs_d = generate_ipa_blinders(rand, cs, ds)
     gg = crs.stacked if crs.stacked is not None else \

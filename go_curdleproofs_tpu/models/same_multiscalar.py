@@ -68,6 +68,12 @@ def prove(G: List[Affine], A: Affine, Z_t: Affine, Z_u: Affine,
           T: List[Affine], U: List[Affine], x: List[int],
           transcript: Transcript, rand: Rand) -> Proof:
     """samemultiscalarargument.go:37-157."""
+    import os
+    if os.environ.get("CURDLE_DEVICE_PROVER", "0") == "1":
+        from . import device_prover
+        return device_prover.prove_samemsm_on_device(
+            G, A, Z_t, Z_u, T, U, x, transcript, rand)
+
     n = len(x)
 
     r = rand.get_frs(n)
