@@ -174,13 +174,10 @@ def ipa_prove_device(bases: PointVec, h_point: PointVec,
     rounds = n.bit_length() - 1
 
     # Step 1: B_c = <rs_c, Gs>, B_d = <rs_d, Gs'>
-    dig = jnp.stack([
-        jnp.stack([fr_digits(rs_c), jnp.zeros((n, 64), jnp.int32)]),
-        jnp.stack([jnp.zeros((n, 64), jnp.int32), fr_digits(rs_d)]),
-    ])                                                    # [2, 2, n, 64]
-    bcd = curve.msm_stacked_device(bases, dig)            # [2, 2]
-    b_c = curve.pmap_coords(lambda t: t[0, 0], bcd)
-    b_d = curve.pmap_coords(lambda t: t[1, 1], bcd)
+    dig = jnp.stack([fr_digits(rs_c), fr_digits(rs_d)])   # [2, n, 64]
+    bcd = curve.msm_rows_device(bases, dig, (0, 1))       # [2]
+    b_c = curve.pmap_coords(lambda t: t[0], bcd)
+    b_d = curve.pmap_coords(lambda t: t[1], bcd)
 
     state = append_points_dev(state, LABEL_STEP1,
                               _stack_points([C, D]))
@@ -221,18 +218,17 @@ def ipa_prove_device(bases: PointVec, h_point: PointVec,
             limbs = jnp.where(mask[:, None], vec.limbs, 0)
             return fr_digits(fr.Element(limbs, vec.iv))
 
-        z64 = jnp.zeros((n, 64), jnp.int32)
         dig = jnp.stack([
-            jnp.stack([mk(cs_up, in_hi), z64]),     # L_C: <c_L, G_R>
-            jnp.stack([z64, mk(ds_dn, in_lo)]),     # L_D: <d_R, G'_L>
-            jnp.stack([mk(cs_dn, in_lo), z64]),     # R_C: <c_R, G_L>
-            jnp.stack([z64, mk(ds_up, in_hi)]),     # R_D: <d_L, G'_R>
-        ])                                          # [4, 2, n, 64]
-        outs = curve.msm_stacked_device(bases, dig)      # [4, 2]
-        l_c0 = curve.pmap_coords(lambda t: t[0, 0], outs)
-        l_d = curve.pmap_coords(lambda t: t[1, 1], outs)
-        r_c0 = curve.pmap_coords(lambda t: t[2, 0], outs)
-        r_d = curve.pmap_coords(lambda t: t[3, 1], outs)
+            mk(cs_up, in_hi),     # L_C: <c_L, G_R>   (Gs row)
+            mk(ds_dn, in_lo),     # L_D: <d_R, G'_L>  (Gs' row)
+            mk(cs_dn, in_lo),     # R_C: <c_R, G_L>   (Gs row)
+            mk(ds_up, in_hi),     # R_D: <d_L, G'_R>  (Gs' row)
+        ])                                          # [4, n, 64]
+        outs = curve.msm_rows_device(bases, dig, (0, 1, 0, 1))   # [4]
+        l_c0 = curve.pmap_coords(lambda t: t[0], outs)
+        l_d = curve.pmap_coords(lambda t: t[1], outs)
+        r_c0 = curve.pmap_coords(lambda t: t[2], outs)
+        r_d = curve.pmap_coords(lambda t: t[3], outs)
 
         ipa_cl_dr = _masked_inner(cs, ds_dn, half)       # <c_L, d_R>
         ipa_cr_dl = _masked_inner(ds, cs_dn, half)       # <c_R, d_L>
@@ -393,15 +389,8 @@ def samemsm_prove_device(bases: PointVec,        # [3, n]: G, T', U'
     rounds = n.bit_length() - 1
 
     rdig = fr_digits(r)
-    z64 = jnp.zeros((n, 64), jnp.int32)
-    dig = jnp.stack([
-        jnp.stack([rdig, z64, z64]),
-        jnp.stack([z64, rdig, z64]),
-        jnp.stack([z64, z64, rdig]),
-    ])                                            # [3, 3, n, 64]
-    outs = curve.msm_stacked_device(bases, dig)   # [3, 3]
-    b_atu = curve.pmap_coords(
-        lambda t: jnp.stack([t[0, 0], t[1, 1], t[2, 2]]), outs)
+    dig = jnp.stack([rdig, rdig, rdig])           # [3, n, 64]
+    b_atu = curve.msm_rows_device(bases, dig, (0, 1, 2))   # [3]
 
     state = append_points_dev(state, SM_LABEL_STEP1, azz)
 
@@ -433,17 +422,8 @@ def samemsm_prove_device(bases: PointVec,        # [3, n]: G, T', U'
 
         dl = mk(x_up, in_hi)    # x_L placed on high lanes (bases _R)
         dr = mk(x_dn, in_lo)    # x_R placed on low lanes (bases _L)
-        z = jnp.zeros((n, 64), jnp.int32)
-        dig = jnp.stack([
-            jnp.stack([dl, z, z]), jnp.stack([z, dl, z]),
-            jnp.stack([z, z, dl]),
-            jnp.stack([dr, z, z]), jnp.stack([z, dr, z]),
-            jnp.stack([z, z, dr]),
-        ])                                         # [6, 3, n, 64]
-        outs = curve.msm_stacked_device(bases, dig)   # [6, 3]
-        lr_pts = curve.pmap_coords(
-            lambda t: jnp.stack([t[0, 0], t[1, 1], t[2, 2],
-                                 t[3, 0], t[4, 1], t[5, 2]]), outs)
+        dig = jnp.stack([dl, dl, dl, dr, dr, dr])  # [6, n, 64]
+        lr_pts = curve.msm_rows_device(bases, dig, (0, 1, 2, 0, 1, 2))
         blobs = compress_dev.compress(lr_pts)      # [6, 48]
         lr = lr.at[rd].set(blobs)
 

@@ -429,6 +429,41 @@ def msm_stacked_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
     return _horner(windows)
 
 
+def msm_rows_device(points: PointVec, digits: jnp.ndarray,
+                    rows: tuple) -> PointVec:
+    """MSM jobs that each target ONE base row (the folding arguments' case).
+
+    points: [k, n]; digits: [m, n, 64]; rows: static per-job base indices
+    -> [m] points. Computes m selected-row pipelines instead of the full
+    m x k product of msm_stacked_device (3x less work for the
+    same-multiscalar rounds, 2x for the IPA rounds)."""
+    n = points.x.limbs.shape[-2]
+    table = _build_table(points)                            # [16, k, n]
+    rows_idx = np.asarray(rows, dtype=np.int32)
+    tab = pmap_coords(lambda t: t[:, rows_idx], table)      # [16, m, n]
+
+    m, nn, w = digits.shape
+    oh = (digits[..., None] ==
+          jnp.arange(TABLE_SIZE, dtype=jnp.int32)).astype(fp.DTYPE)
+    oh = oh.transpose(0, 1, 3, 2)                           # [m, n, 16, w]
+
+    def pick(t):   # t: [16, m, n, l]
+        tt = t.transpose(1, 2, 0, 3)                        # [m, n, 16, l]
+        out = jax.lax.dot_general(
+            oh, tt, dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=fp.DTYPE,
+            precision=jax.lax.Precision.HIGHEST)            # [m, n, w, l]
+        return out.transpose(0, 2, 1, 3)                    # [m, w, n, l]
+
+    cur = PointVec(Fp(pick(tab.x.limbs), tab.x.iv),
+                   Fp(pick(tab.y.limbs), tab.y.iv),
+                   Fp(pick(tab.z.limbs), tab.z.iv))
+    cur = PointVec(Fp(cur.x.limbs, REDUCED), Fp(cur.y.limbs, REDUCED),
+                   Fp(cur.z.limbs, REDUCED))
+    windows = _reduce_points_axis(cur, n)                   # [m, 64]
+    return _horner(windows)
+
+
 class StackedVec:
     """k device-resident base vectors [k, n] folded/queried together.
 
@@ -465,25 +500,27 @@ class StackedVec:
             return self._msm_many(jobs)
 
     def _msm_many(self, jobs):
-        m = len(jobs)
-        digit_rows = np.zeros((m, self.k, self.width, NUM_WINDOWS),
-                              dtype=np.int32)
+        # expand to one MSM per (job, base) term; each term targets a single
+        # base row, so msm_rows_device skips the zero-digit (job x base)
+        # combinations msm_stacked_device would compute
+        terms_flat = []
+        owners = []
         for j, terms in enumerate(jobs):
             for (bi, scalars, offset) in terms:
                 sc = [0] * self.width
                 for i, s in enumerate(scalars):
                     sc[offset + i] = int(s) % fh.R
-                digit_rows[j, bi] = scalars_to_digits(sc)
-        out = _compiled("msm_stacked", msm_stacked_device)(
-            self.pv, jnp.asarray(digit_rows))        # [m, k] points
+                terms_flat.append((bi, scalars_to_digits(sc)))
+                owners.append(j)
+        digit_rows = np.stack([d for _, d in terms_flat])
+        rows = tuple(bi for bi, _ in terms_flat)
+        out = _compiled(f"msm_rows{rows}",
+                        lambda pv, dg, rows=rows: msm_rows_device(pv, dg, rows)
+                        )(self.pv, jnp.asarray(digit_rows))   # [T] points
         flat = to_affine_host(out)                   # one stacked fetch
-        res = []
-        for j in range(m):
-            acc = None
-            row = flat[j * self.k: (j + 1) * self.k]
-            for bi in set(t[0] for t in jobs[j]):
-                acc = fh.g1_add(acc, row[bi])
-            res.append(acc)
+        res = [None] * len(jobs)
+        for t, j in enumerate(owners):
+            res[j] = fh.g1_add(res[j], flat[t])
         return res
 
     def fold(self, gammas) -> "StackedVec":
