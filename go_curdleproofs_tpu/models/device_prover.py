@@ -11,8 +11,14 @@ Byte-exactness: the transcript, challenge rejection sampling, and all
 randomness draw orders mirror the host path exactly, so device and host
 provers produce IDENTICAL proofs (tested).
 
-Status: inner-product argument (the deepest recursion) runs fully on-device;
-the remaining layers compose incrementally on top (see prove_ipa_device).
+Status: the inner-product and same-multiscalar recursions run fully
+on-device; the remaining layers compose incrementally on top.
+
+Divergence note: the reference aborts on a zero gamma challenge
+(innerproductargument.go:149-151) — probability 2^-255. A device program
+cannot abort mid-graph; a zero gamma here would yield an invalid proof
+rather than an error (the verifier still rejects it). Same class of
+negligible-probability behavior difference as hash collisions.
 """
 
 from __future__ import annotations
