@@ -111,7 +111,10 @@ class Field:
         return self._int_to_limbs(v % self.modulus)
 
     def from_ints(self, vs: Sequence[int]) -> Element:
-        arr = np.stack([self.from_int(v) for v in vs])
+        m = self.modulus
+        buf = b"".join(int(int(v) % m).to_bytes(self.nlimbs, "little")
+                       for v in vs)
+        arr = np.frombuffer(buf, np.uint8).reshape(len(vs), self.nlimbs)
         return Element(jnp.asarray(arr, dtype=DTYPE), CANONICAL)
 
     def constant(self, v: int, shape=()) -> Element:
@@ -319,18 +322,19 @@ class Field:
 
     def _exact_ripple(self, x: jnp.ndarray) -> jnp.ndarray:
         """LSB-first exact carry propagation (signed-safe floor semantics).
-        After this, digits are in [0,255] iff the value is non-negative."""
+        After this, digits are in [0,255] iff the value is non-negative.
+
+        Unrolled (static limb count): nesting a fori here inside the callers'
+        round loops made the TPU compiler pathologically slow."""
         n = x.shape[-1]
-
-        def body(i, state):
-            x, carry = state
+        cols = []
+        carry = jnp.zeros(x.shape[:-1], dtype=x.dtype)
+        for i in range(n):
             v = x[..., i] + carry
-            c, low = _floor_shift(v)
-            return x.at[..., i].set(low), c
-
-        x, carry = jax.lax.fori_loop(
-            0, n, body, (x, jnp.zeros(x.shape[:-1], dtype=x.dtype)))
-        return x  # carry out must be folded by callers if value >= 2^(8n)
+            carry, low = _floor_shift(v)
+            cols.append(low)
+        return jnp.stack(cols, axis=-1)
+        # carry out must be folded by callers if value >= 2^(8n)
 
     def _quotient_estimate(self, limbs: jnp.ndarray,
                            slack: float) -> jnp.ndarray:
