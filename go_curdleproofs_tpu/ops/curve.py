@@ -148,7 +148,8 @@ def to_affine_host(p: PointVec) -> List[Affine]:
 
     Fetches all three coordinate planes as ONE stacked transfer — each D2H
     through the TPU tunnel costs ~25ms of latency regardless of size."""
-    stacked = np.asarray(jnp.stack([p.x.limbs, p.y.limbs, p.z.limbs]))
+    with profiling.span("to_affine_host.fetch"):
+        stacked = np.asarray(jnp.stack([p.x.limbs, p.y.limbs, p.z.limbs]))
     xs = fp.to_ints(stacked[0])
     ys = fp.to_ints(stacked[1])
     zs = fp.to_ints(stacked[2])
@@ -526,6 +527,10 @@ class StackedVec:
 
     def fold(self, gammas) -> "StackedVec":
         """Fold all k base rows; `gammas` is one scalar or one per row."""
+        with profiling.span(f"fold[{self.k}x{self.width}]"):
+            return self._fold(gammas)
+
+    def _fold(self, gammas) -> "StackedVec":
         h = self.n_valid // 2
         if isinstance(gammas, int):
             gammas = [gammas] * self.k
@@ -625,7 +630,8 @@ def batch_scalar_mul(points: Sequence[Affine], scalars: Sequence[int]) -> List[A
     n = _pad_pow2(len(points))
     pts = list(points) + [None] * (n - len(points))
     sc = [int(s) % fh.R for s in scalars] + [0] * (n - len(scalars))
-    pv = from_affine_host(pts)
-    digits = jnp.asarray(scalars_to_digits(sc))
-    out = _compiled("smul", scalar_mul_device)(pv, digits)
-    return to_affine_host(out)[: len(points)]
+    with profiling.span(f"batch_scalar_mul[{n}]"):
+        pv = from_affine_host(pts)
+        digits = jnp.asarray(scalars_to_digits(sc))
+        out = _compiled("smul", scalar_mul_device)(pv, digits)
+        return to_affine_host(out)[: len(points)]
