@@ -21,6 +21,7 @@ The MSM is a TPU-shaped windowed method (the reference's Pippenger equivalent,
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Sequence
 
 import jax
