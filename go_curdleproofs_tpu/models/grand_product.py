@@ -149,16 +149,10 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
 
 
 def _stack_pvs(a, b):
-    """Concatenate two [k, n] PointVecs along the row axis."""
-    import jax.numpy as jnp
-    from ..ops.fp import Fp
-    from ..ops import fp as _fp
+    """Concatenate two [k, n] PointVecs along the row axis (backend-agnostic)."""
+    from ..ops import field_backend as _fp
 
-    def cat(x, y):
-        iv = (min(x.iv[0], y.iv[0]), max(x.iv[1], y.iv[1]),
-              min(x.iv[2], y.iv[2]), max(x.iv[3], y.iv[3]))
-        return Fp(jnp.concatenate([x.limbs, y.limbs], axis=0), iv)
-
+    cat = lambda x, y: _fp.concat([x, y], axis=0)
     return curve.PointVec(cat(a.x, b.x), cat(a.y, b.y), cat(a.z, b.z))
 
 

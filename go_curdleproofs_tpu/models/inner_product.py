@@ -112,7 +112,11 @@ def prove(crs: CRS, C: Affine, D: Affine, z: int,
         raise ValueError("cs and ds are not a power of two")
 
     import os
-    if os.environ.get("CURDLE_DEVICE_PROVER", "0") == "1":
+    from ..ops import field_backend
+    if (os.environ.get("CURDLE_DEVICE_PROVER", "0") == "1"
+            and field_backend.BACKEND == "limb"):
+        # the device-resident recursion is still limb-based (its transcript
+        # compression needs limb digits); skipped under the RNS backend
         from . import device_prover
         return device_prover.prove_ipa_on_device(
             crs.gs, crs.gs_prime, crs.h, C, D, z, cs, ds, transcript, rand,

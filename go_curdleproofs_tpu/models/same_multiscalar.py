@@ -69,7 +69,10 @@ def prove(G: List[Affine], A: Affine, Z_t: Affine, Z_u: Affine,
           transcript: Transcript, rand: Rand) -> Proof:
     """samemultiscalarargument.go:37-157."""
     import os
-    if os.environ.get("CURDLE_DEVICE_PROVER", "0") == "1":
+    from ..ops import field_backend
+    if (os.environ.get("CURDLE_DEVICE_PROVER", "0") == "1"
+            and field_backend.BACKEND == "limb"):
+        # limb-based device recursion; skipped under the RNS backend
         from . import device_prover
         return device_prover.prove_samemsm_on_device(
             G, A, Z_t, Z_u, T, U, x, transcript, rand)

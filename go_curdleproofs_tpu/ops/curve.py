@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import fp
-from .fp import Fp, REDUCED
+from . import field_backend as fp
+from .field_backend import Fp, REDUCED
 from ..utils import field_host as fh
 from ..utils import profiling
 from ..utils.field_host import Affine
@@ -133,27 +133,27 @@ def pmap_coords(fn, p: PointVec) -> PointVec:
 # -- host <-> device ---------------------------------------------------------
 
 def from_affine_host(pts: Sequence[Affine]) -> PointVec:
-    n = len(pts)
-    nl = fp.NLIMBS
-    xbuf = b"".join((pt[0] if pt else 0).to_bytes(nl, "little") for pt in pts)
-    ybuf = b"".join((pt[1] if pt else 1).to_bytes(nl, "little") for pt in pts)
-    zbuf = b"".join((1 if pt else 0).to_bytes(nl, "little") for pt in pts)
-    mk = lambda buf: Fp(
-        jnp.asarray(np.frombuffer(buf, np.uint8).reshape(n, nl),
-                    dtype=fp.DTYPE), fp.CANONICAL)
-    return PointVec(mk(xbuf), mk(ybuf), mk(zbuf))
+    """Host affine points -> device PointVec (infinity -> (0:1:0))."""
+    return PointVec(
+        fp.from_ints([(pt[0] if pt else 0) for pt in pts]),
+        fp.from_ints([(pt[1] if pt else 1) for pt in pts]),
+        fp.from_ints([(1 if pt else 0) for pt in pts]))
 
 
 def to_affine_host(p: PointVec) -> List[Affine]:
     """Exact host-side projective->affine (bignum canonicalize + invert).
 
     Fetches all three coordinate planes as ONE stacked transfer — each D2H
-    through the TPU tunnel costs ~25ms of latency regardless of size."""
+    through the TPU tunnel costs ~25ms of latency regardless of size. The
+    backend canonicalizes on device (fp.prepare_fetch) so the host only
+    recomposes bytes."""
     with profiling.span("to_affine_host.fetch"):
-        stacked = np.asarray(jnp.stack([p.x.limbs, p.y.limbs, p.z.limbs]))
-    xs = fp.to_ints(stacked[0])
-    ys = fp.to_ints(stacked[1])
-    zs = fp.to_ints(stacked[2])
+        stacked = np.asarray(jnp.stack([fp.prepare_fetch(p.x),
+                                        fp.prepare_fetch(p.y),
+                                        fp.prepare_fetch(p.z)]))
+    xs = fp.ints_from_fetched(stacked[0])
+    ys = fp.ints_from_fetched(stacked[1])
+    zs = fp.ints_from_fetched(stacked[2])
     out: List[Affine] = []
     for x, y, z in zip(xs, ys, zs):
         if z == 0:

@@ -96,3 +96,14 @@ def sqrt_candidate(a: Element) -> Element:
     """a^((p+1)/4): a square root if a is a QR (p = 3 mod 4); caller must
     verify cand^2 == a."""
     return _F.pow_fixed(a, (P + 1) // 4)
+
+
+# -- fetch helpers (curve.to_affine_host); backend-uniform API ----------------
+
+def prepare_fetch(a: Element):
+    """Limb backend: limbs are already host-decodable; fetch as-is."""
+    return a.limbs
+
+
+def ints_from_fetched(arr):
+    return to_ints(arr)

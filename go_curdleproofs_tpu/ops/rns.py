@@ -127,21 +127,23 @@ class _Consts:
         self.ONE = self.to_channels_int(1)
         self.M1_modp = self.to_channels_int(self.M1 % P)
 
-        # 2^(8i) mod q/r for device limbs -> channels conversion
+        # 2^(8i) mod q/r for limbs -> channels conversion (int64 for numpy)
         NLIMB = 49
         pw = np.array([[pow(256, i, int(m)) for m in pr]
                        for i in range(NLIMB)], dtype=np.int64)  # [49, 2J]
-        self.pw_hi = f32(pw >> 6)
-        self.pw_lo = f32(pw & 63)
-        # limbs of ((M1/q_j) mod p) and of multiples of p, for the device
-        # RNS -> limbs CRT: value = sum_j xi_j*(M1/q_j) - gamma*M1
-        #                         ≡ sum_j xi_j*((M1/q_j) mod p)
-        #                           + (J*BOUND - gamma)*... (built on demand)
-        m1q_modp = np.array(
-            [[(int(m % P) >> (8 * i)) & 255 for i in range(NLIMB)]
-             for m in M1q], dtype=np.int64)                     # [J, 49]
-        self.m1q_modp_limbs = f32(m1q_modp)
-        self.negM1_modp_int = (-self.M1) % P
+        self.pw_int = pw
+        self.m_int = np.array(pr, dtype=np.int64)               # [2J]
+
+        # device RNS -> canonical-limb CRT (fp_rns.canonical_digits):
+        # value ≡ sum_j (64*xi_hi_j + xi_lo_j)*(M1/q_j) - gamma*M1 (mod p),
+        # folded onto 49-limb space via mod-p constants (6-bit xi split keeps
+        # every dot term < 2^13 and the folded value < 2^13 * p).
+        self.xi_mul_crt = f32([pow(m % int(qj), -1, int(qj))
+                               for m, qj in zip(M1q, self.q)])
+        limbs_of = lambda v: [(int(v) >> (8 * i)) & 255 for i in range(NLIMB)]
+        self.m1q_modp_limbs = f32([limbs_of(m % P) for m in M1q])     # [J,49]
+        self.m1q64_modp_limbs = f32([limbs_of(64 * m % P) for m in M1q])
+        self.negM1_modp_limbs = f32(limbs_of((-self.M1) % P))         # [49]
 
     def to_channels_int(self, v: int) -> np.ndarray:
         both = list(self.q) + list(self.r)
@@ -275,13 +277,19 @@ def squash(a: RElem) -> RElem:
 # -- host conversions ---------------------------------------------------------
 
 def from_ints(vals: Sequence[int], mont: bool = True) -> RElem:
-    """Python ints -> device RElem (Montgomery domain by default)."""
+    """Python ints -> device RElem (Montgomery domain by default).
+
+    Vectorized: ints -> little-endian bytes -> numpy int64 matmul with the
+    2^(8i)-mod-m table -> channels; the Montgomery factor is applied with one
+    device mont_mul by M1^2 (bound 1*1, output bound 3)."""
     C = consts()
-    both = list(C.q) + list(C.r)
-    factor = C.M1 if mont else 1
-    arr = np.array([[(int(v) % P) * factor % P % int(m) for m in both]
-                    for v in vals], dtype=np.float32)
-    return RElem(jnp.asarray(arr), 1)
+    buf = b"".join(int(int(v) % P).to_bytes(49, "little") for v in vals)
+    byts = np.frombuffer(buf, np.uint8).reshape(len(vals), 49).astype(np.int64)
+    ch = (byts @ C.pw_int) % C.m_int          # terms < 2^25: int64-exact
+    raw = RElem(jnp.asarray(ch, dtype=DTYPE), 1)
+    if not mont:
+        return raw
+    return mont_mul(raw, RElem(jnp.asarray(C.M1SQ), 1))
 
 
 def to_ints(e: RElem) -> List[int]:

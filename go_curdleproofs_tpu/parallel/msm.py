@@ -19,9 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import curve, fp
+from ..ops import curve
+from ..ops import field_backend as fp
 from ..ops.curve import PointVec
-from ..ops.fp import Fp, REDUCED
+from ..ops.field_backend import Fp, REDUCED
 from ..utils import field_host as fh
 from ..utils.field_host import Affine
 
