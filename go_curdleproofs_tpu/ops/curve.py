@@ -154,13 +154,13 @@ def to_affine_host(p: PointVec) -> List[Affine]:
     xs = fp.ints_from_fetched(stacked[0])
     ys = fp.ints_from_fetched(stacked[1])
     zs = fp.ints_from_fetched(stacked[2])
+    zinvs = fh.fp_batch_inv(zs)              # ONE fp_inv for the whole batch
     out: List[Affine] = []
-    for x, y, z in zip(xs, ys, zs):
-        if z == 0:
+    for x, y, zi in zip(xs, ys, zinvs):
+        if zi == 0:
             out.append(None)
         else:
-            zinv = fh.fp_inv(z)
-            out.append((x * zinv % fh.P, y * zinv % fh.P))
+            out.append((x * zi % fh.P, y * zi % fh.P))
     return out
 
 
@@ -190,28 +190,36 @@ def scalars_to_digits(scalars: Sequence[int]) -> np.ndarray:
     return np.ascontiguousarray(inter[:, ::-1]).astype(np.int32)
 
 
+def _stack_points(ps: Sequence[PointVec]) -> PointVec:
+    return PointVec(fp.stack([q.x for q in ps]),
+                    fp.stack([q.y for q in ps]),
+                    fp.stack([q.z for q in ps]))
+
+
+def _unstack_points(pv: PointVec, k: int) -> List[PointVec]:
+    return [pmap_coords(lambda t, i=i: t[i], pv) for i in range(k)]
+
+
 def _build_table(p: PointVec) -> PointVec:
     """Stacked multiples table: entry d = d*P_i, d = 0..15; [16, n] points.
 
-    Built under lax.fori_loop (15 dependent batched adds share ONE traced
-    add body — keeps the compiled graph small)."""
+    Built in FOUR batched adds of widths 1/2/4/7 (serial depth 4) instead of
+    15 dependent adds: level L computes 2^(L-1)+1 .. 2^L as d_hi + d_lo with
+    the already-known halves stacked on a new leading axis. The serial chain
+    is the latency floor of every MSM program, so depth matters more than
+    lane count here (the widths are far under one VPU's lanes anyway)."""
     p = _settle(p)
-    shape = (TABLE_SIZE,) + p.x.limbs.shape
+    d = [None, p, add(p, p)]                                  # d1, d2
+    d += _unstack_points(add(_stack_points([d[2], d[2]]),
+                             _stack_points([p, d[2]])), 2)    # d3, d4
+    d += _unstack_points(add(_stack_points([d[4]] * 4),
+                             _stack_points(d[1:5])), 4)       # d5..d8
+    d += _unstack_points(add(_stack_points([d[8]] * 7),
+                             _stack_points(d[1:8])), 7)       # d9..d15
     inf = _settle(infinity(p.batch_shape))
-    bufs = tuple(
-        jnp.zeros(shape, dtype=fp.DTYPE).at[0].set(c0.limbs).at[1].set(c1.limbs)
-        for c0, c1 in zip(inf, p))
-
-    def body(d, bufs):
-        bx, by, bz = bufs
-        prev = PointVec(Fp(bx[d - 1], REDUCED), Fp(by[d - 1], REDUCED),
-                        Fp(bz[d - 1], REDUCED))
-        nxt = add(prev, p)
-        return (bx.at[d].set(nxt.x.limbs), by.at[d].set(nxt.y.limbs),
-                bz.at[d].set(nxt.z.limbs))
-
-    bx, by, bz = jax.lax.fori_loop(2, TABLE_SIZE, body, bufs)
-    return PointVec(Fp(bx, REDUCED), Fp(by, REDUCED), Fp(bz, REDUCED))
+    tab = _stack_points([inf] + [_settle(q) for q in d[1:]])  # [16, ..., n]
+    return PointVec(Fp(tab.x.limbs, REDUCED), Fp(tab.y.limbs, REDUCED),
+                    Fp(tab.z.limbs, REDUCED))
 
 
 def _onehot(digits: jnp.ndarray) -> jnp.ndarray:
@@ -306,17 +314,25 @@ def _reduce_points_axis(cur: PointVec, axis_len: int,
     return pmap_coords(lambda t: t[..., 0, :], cur)
 
 
-def msm_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
-    """Core MSM device program: points [..., n], digits [..., n, 64] ->
-    [...] points. Leading dims batch independent MSMs (over shared OR
-    distinct bases) through one table/select/reduce/Horner pipeline."""
+def msm_windows_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
+    """Wide phase of the MSM: points [..., n], digits [..., n, 64] ->
+    [..., 64] window sums. Leading dims batch independent MSMs (over shared
+    OR distinct bases) through one table/select/reduce pipeline. The narrow
+    window combine happens on the host (fh.g1_combine_windows) — the device
+    keeps only the phases with lane-level parallelism."""
     n = points.x.limbs.shape[-2]
     table = _build_table(points)
     cur = _table_select_windows(table, digits)      # [..., 64, n] points
     cur = PointVec(Fp(cur.x.limbs, REDUCED), Fp(cur.y.limbs, REDUCED),
                    Fp(cur.z.limbs, REDUCED))
-    windows = _reduce_points_axis(cur, n)           # [..., 64] points
-    return _horner(windows)
+    return _reduce_points_axis(cur, n)              # [..., 64] points
+
+
+def msm_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
+    """Fully-device MSM (windows + on-device Horner): the single-dispatch
+    variant used by the device-resident prover, where the result feeds
+    on-device transcript absorption instead of a host fetch."""
+    return _horner(msm_windows_device(points, digits))
 
 
 def scalar_mul_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
@@ -388,8 +404,8 @@ def msm(points: Sequence[Affine], scalars: Sequence[int],
     sc = [int(s) % fh.R for s in scalars] + [0] * (n - len(scalars))
     pv = from_affine_host(pts)
     digits = jnp.asarray(scalars_to_digits(sc))
-    out = _compiled("msm", msm_device)(pv, digits)
-    return to_affine_host_single(out)
+    out = _compiled("msmw", msm_windows_device)(pv, digits)
+    return fh.g1_combine_windows(to_affine_host(out), WINDOW_BITS)
 
 
 def _table_select_jobs(table: PointVec, digits: jnp.ndarray) -> PointVec:
@@ -432,14 +448,14 @@ def msm_stacked_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
     return _horner(windows)
 
 
-def msm_rows_device(points: PointVec, digits: jnp.ndarray,
-                    rows: tuple) -> PointVec:
+def msm_rows_windows_device(points: PointVec, digits: jnp.ndarray,
+                            rows: tuple) -> PointVec:
     """MSM jobs that each target ONE base row (the folding arguments' case).
 
     points: [k, n]; digits: [m, n, 64]; rows: static per-job base indices
-    -> [m] points. Computes m selected-row pipelines instead of the full
-    m x k product of msm_stacked_device (3x less work for the
-    same-multiscalar rounds, 2x for the IPA rounds)."""
+    -> [m, 64] window sums (host-combined). Computes m selected-row
+    pipelines instead of the full m x k product of msm_stacked_device
+    (3x less work for the same-multiscalar rounds, 2x for the IPA rounds)."""
     n = points.x.limbs.shape[-2]
     table = _build_table(points)                            # [16, k, n]
     rows_idx = np.asarray(rows, dtype=np.int32)
@@ -463,8 +479,14 @@ def msm_rows_device(points: PointVec, digits: jnp.ndarray,
                    Fp(pick(tab.z.limbs), tab.z.iv))
     cur = PointVec(Fp(cur.x.limbs, REDUCED), Fp(cur.y.limbs, REDUCED),
                    Fp(cur.z.limbs, REDUCED))
-    windows = _reduce_points_axis(cur, n)                   # [m, 64]
-    return _horner(windows)
+    return _reduce_points_axis(cur, n)                      # [m, 64]
+
+
+def msm_rows_device(points: PointVec, digits: jnp.ndarray,
+                    rows: tuple) -> PointVec:
+    """Fully-device per-row MSM (device Horner): used by the device-resident
+    prover where results stay on-device for transcript absorption."""
+    return _horner(msm_rows_windows_device(points, digits, rows))
 
 
 class StackedVec:
@@ -517,13 +539,16 @@ class StackedVec:
                 owners.append(j)
         digit_rows = np.stack([d for _, d in terms_flat])
         rows = tuple(bi for bi, _ in terms_flat)
-        out = _compiled(f"msm_rows{rows}",
-                        lambda pv, dg, rows=rows: msm_rows_device(pv, dg, rows)
-                        )(self.pv, jnp.asarray(digit_rows))   # [T] points
+        out = _compiled(
+            f"msm_rows_w{rows}",
+            lambda pv, dg, rows=rows: msm_rows_windows_device(pv, dg, rows)
+        )(self.pv, jnp.asarray(digit_rows))          # [T, 64] window sums
         flat = to_affine_host(out)                   # one stacked fetch
         res = [None] * len(jobs)
         for t, j in enumerate(owners):
-            res[j] = fh.g1_add(res[j], flat[t])
+            term = fh.g1_combine_windows(
+                flat[t * NUM_WINDOWS:(t + 1) * NUM_WINDOWS], WINDOW_BITS)
+            res[j] = fh.g1_add(res[j], term)
         return res
 
     def fold(self, gammas) -> "StackedVec":
@@ -595,8 +620,8 @@ class DeviceVec:
         for i, s in enumerate(scalars):
             sc[offset + i] = int(s) % fh.R
         digits = jnp.asarray(scalars_to_digits(sc))
-        out = _compiled("msm", msm_device)(self.pv, digits)
-        return to_affine_host_single(out)
+        out = _compiled("msmw", msm_windows_device)(self.pv, digits)
+        return fh.g1_combine_windows(to_affine_host(out), WINDOW_BITS)
 
     def fold(self, gamma: int) -> "DeviceVec":
         """self'[i] = self[i] + gamma*self[i + n/2], halving n_valid."""

@@ -42,7 +42,9 @@ def _local_windows(x, y, z, digits):
 
 
 def _sharded_msm_body(x, y, z, digits):
-    """shard_map body: shard-local windows, all-gather, combine, Horner."""
+    """shard_map body: shard-local windows, all-gather over ICI, cross-shard
+    group-law tree combine. Returns the [64] window sums — the narrow Horner
+    tail runs on the host (fh.g1_combine_windows), like the single-chip MSM."""
     wx, wy, wz = _local_windows(x, y, z, digits)
     # gather every chip's [64] window points: [n_dev, 64, 49]
     gx = jax.lax.all_gather(wx, AXIS)
@@ -57,8 +59,7 @@ def _sharded_msm_body(x, y, z, digits):
         cur = curve.add(a, b)
         m = half
     windows = curve.pmap_coords(lambda t: t[0], cur)   # [64] points
-    out = curve._horner(windows)
-    return out.x.limbs, out.y.limbs, out.z.limbs
+    return windows.x.limbs, windows.y.limbs, windows.z.limbs
 
 
 def make_sharded_msm(mesh: Mesh):
@@ -87,9 +88,9 @@ def sharded_msm(points: Sequence[Affine], scalars: Sequence[int],
     digits = jnp.asarray(curve.scalars_to_digits(sc))
     fn = make_sharded_msm(mesh)
     ox, oy, oz = fn(pv.x.limbs, pv.y.limbs, pv.z.limbs, digits)
-    out = PointVec(Fp(ox[None], REDUCED), Fp(oy[None], REDUCED),
-                   Fp(oz[None], REDUCED))
-    return curve.to_affine_host(out)[0]
+    out = PointVec(Fp(ox, REDUCED), Fp(oy, REDUCED), Fp(oz, REDUCED))
+    return fh.g1_combine_windows(curve.to_affine_host(out),
+                                 curve.WINDOW_BITS)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:

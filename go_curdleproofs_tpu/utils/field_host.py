@@ -206,6 +206,39 @@ def g1_mul(pt: Affine, k: int) -> Affine:
     return _jac_to_affine(acc)
 
 
+def g1_combine_windows(windows: List[Affine], window_bits: int = 4) -> Affine:
+    """Horner-combine MSB-first window sums: acc = 2^w_bits * acc + S_w.
+
+    The narrow, inherently serial tail of the device MSM (the reference's
+    Pippenger window combine, inside gnark MultiExp): ~252 doublings + 64
+    mixed adds on SINGLE points. On the TPU that chain is issue-bound tiny-
+    batch work (~300 ms per program); in host Jacobian bignum it is ~1 ms.
+    """
+    acc: _JacP = (1, 1, 0)
+    for w in windows:
+        for _ in range(window_bits):
+            acc = _jac_double(acc)
+        acc = _jac_add_affine(acc, w)
+    return _jac_to_affine(acc)
+
+
+def fp_batch_inv(vals: List[int]) -> List[int]:
+    """Montgomery batch inversion: one fp_inv for the whole list (zeros map
+    to zero, matching gnark's BatchInvert convention)."""
+    n = len(vals)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = prefix[i] * (v if v else 1) % P
+    inv = fp_inv(prefix[n])
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        v = vals[i]
+        if v:
+            out[i] = prefix[i] * inv % P
+            inv = inv * v % P
+    return out
+
+
 def g1_msm(points: List[Affine], scalars: List[int]) -> Affine:
     acc: Affine = None
     for pt, s in zip(points, scalars):
