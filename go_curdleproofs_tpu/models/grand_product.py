@@ -70,10 +70,19 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
     for i in range(1, ell):
         cs[i] = cs[i - 1] * bs[i - 1] % fh.R
     r_cs = rand.get_frs(len(r_bs))
-    # device-resident bases [Gs, Hs], shared by every MSM below
+    import os
+    from ..ops import field_backend
+    device_prover = (os.environ.get("CURDLE_DEVICE_PROVER", "0") == "1"
+                     and field_backend.BACKEND == "limb")
     width = len(crs.gs) + len(crs.hs)
-    gh = curve.StackedVec.from_affine([crs.gs, crs.hs], pad_to=width)
-    (C,) = gh.msm_many([[(0, cs, 0), (1, r_cs, 0)]])
+    # ONE device-resident base row [Gs|Hs] (the IPA's concatenated bases,
+    # lane i = Gs[i] for i < ell, Hs[i-ell] after); every MSM below and all
+    # of the IPA's address it through scalar-side transforms (FoldedBases),
+    # so its multiples table is built exactly once.
+    ghsv = curve.StackedVec.from_affine([list(crs.gs) + list(crs.hs)],
+                                        pad_to=width)
+    gh = curve.FoldedBases(ghsv)
+    (C,) = gh.msm_many([[(0, list(cs) + list(r_cs), 0)]])
 
     r_b_plus_alpha = [(rb + alpha) % fh.R for rb in r_bs]
     r_p = fh.fr_inner_product(r_b_plus_alpha, r_cs)
@@ -84,8 +93,9 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
     if beta == 0:
         raise ValueError("beta is zero")
 
-    # Step 3: rescale bases — ONE batched device scalar-mul, no fetch;
-    # the rescaled bases stay on device for D, the self-check and the IPA.
+    # Step 3: rescaled bases Gs' = Gs*beta^-i, Hs' = Hs*beta^-(ell+1)
+    # (grandproductargument.go:94-103) — pure scalar-side diagonal, no
+    # device work at all: <v, Gs'|Hs'> = <v*diag, Gs|Hs>.
     beta_inv = fh.fr_inv(beta)
     beta_inv_pows = []
     acc = beta_inv
@@ -93,7 +103,8 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
         beta_inv_pows.append(acc)
         acc = acc * beta_inv % fh.R
     # acc == beta_inv^(ell+1)
-    gh_prime = gh.scaled_rows([beta_inv_pows, [acc] * len(crs.hs)])
+    diag = beta_inv_pows + [acc] * len(crs.hs)
+    gh_prime = curve.FoldedBases(ghsv, rows=[0], diags={0: diag})
 
     bs_prime = []
     tmp_beta = beta
@@ -123,8 +134,8 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
     # self-check msm(G', d) (grandproductargument.go:111-177) — one call.
     neg_beta_powers = [(-b) % fh.R for b in beta_powers]
     d_part, selfcheck2 = gh_prime.msm_many([
-        [(0, neg_beta_powers, 0), (1, alpha_beta, 0)],
-        [(0, ds, 0), (1, r_ds, 0)]])
+        [(0, neg_beta_powers + alpha_beta, 0)],
+        [(0, ds + r_ds, 0)]])
     D = fh.g1_add(B, d_part)
 
     # prover self-checks (grandproductargument.go:156-177); msm(G,c)==C is
@@ -134,10 +145,17 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
     if selfcheck2 != D:
         raise ValueError("msm(G', d) != D")
 
-    # hand the IPA device-resident concatenated bases [Gs|Hs, Gs'|Hs']:
-    # rows (Gs, Hs, Gs', Hs') pairwise-merged at lane `ell`
-    merged = curve.StackedVec(_stack_pvs(gh.pv, gh_prime.pv),
-                              ell + len(crs.hs)).merge_pairs(ell)
+    if device_prover:
+        # the on-device IPA recursion needs physical [Gs|Hs, Gs'|Hs'] rows
+        gprime_sv = curve.StackedVec(
+            ghsv.pv, ell + len(crs.hs)).scaled_rows([diag])
+        merged = curve.StackedVec(_stack_pvs(ghsv.pv, gprime_sv.pv),
+                                  ell + len(crs.hs))
+    else:
+        # lazy 2-row view of the SAME device bases:
+        # row 0 = [Gs|Hs], row 1 = [Gs'|Hs'] = diag * [Gs|Hs]
+        merged = curve.FoldedBases(ghsv, rows=[0, 0], diags={1: diag},
+                                   n_valid=ell + len(crs.hs))
 
     gs_full = list(crs.gs) + list(crs.hs)
     gs_prime_full: list = []  # device-resident; affine copies not needed

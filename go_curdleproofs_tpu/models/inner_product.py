@@ -125,7 +125,7 @@ def prove(crs: CRS, C: Affine, D: Affine, z: int,
     # Step 1
     rs_c, rs_d = generate_ipa_blinders(rand, cs, ds)
     gg = crs.stacked if crs.stacked is not None else \
-        curve.StackedVec.from_affine([crs.gs, crs.gs_prime])
+        curve.FoldedBases.from_affine([crs.gs, crs.gs_prime])
     b_c, b_d = gg.msm_many([[(0, rs_c, 0)], [(1, rs_d, 0)]])
 
     transcript.append_points(LABEL_STEP1, C, D)

@@ -81,7 +81,7 @@ def prove(G: List[Affine], A: Affine, Z_t: Affine, Z_u: Affine,
 
     r = rand.get_frs(n)
 
-    gtu = curve.StackedVec.from_affine([G, T, U])
+    gtu = curve.FoldedBases.from_affine([G, T, U])
     b_a, b_t, b_u = gtu.msm_many(
         [[(0, r, 0)], [(1, r, 0)], [(2, r, 0)]])
 

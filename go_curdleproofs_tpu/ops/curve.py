@@ -456,8 +456,16 @@ def msm_rows_windows_device(points: PointVec, digits: jnp.ndarray,
     -> [m, 64] window sums (host-combined). Computes m selected-row
     pipelines instead of the full m x k product of msm_stacked_device
     (3x less work for the same-multiscalar rounds, 2x for the IPA rounds)."""
-    n = points.x.limbs.shape[-2]
     table = _build_table(points)                            # [16, k, n]
+    return msm_rows_windows_from_table(table, digits, rows)
+
+
+def msm_rows_windows_from_table(table: PointVec, digits: jnp.ndarray,
+                                rows: tuple) -> PointVec:
+    """Same as msm_rows_windows_device but over a precomputed multiples
+    table [16, k, n] — the bases of a folding argument never change under
+    the lazy-fold scheme, so the table is built once per argument."""
+    n = table.x.limbs.shape[-2]
     rows_idx = np.asarray(rows, dtype=np.int32)
     tab = pmap_coords(lambda t: t[:, rows_idx], table)      # [16, m, n]
 
@@ -482,6 +490,11 @@ def msm_rows_windows_device(points: PointVec, digits: jnp.ndarray,
     return _reduce_points_axis(cur, n)                      # [m, 64]
 
 
+def build_table_device(points: PointVec) -> PointVec:
+    """Jit entry for the [16, k, n] multiples table (cached per StackedVec)."""
+    return _compiled("build_table", _build_table)(points)
+
+
 def msm_rows_device(points: PointVec, digits: jnp.ndarray,
                     rows: tuple) -> PointVec:
     """Fully-device per-row MSM (device Horner): used by the device-resident
@@ -503,6 +516,12 @@ class StackedVec:
         self.k = pv.x.limbs.shape[0]
         self.width = pv.x.limbs.shape[1]
         self.n_valid = n_valid
+        self._table = None                 # cached [16, k, n] multiples table
+
+    def table(self) -> PointVec:
+        if self._table is None:
+            self._table = build_table_device(self.pv)
+        return self._table
 
     @classmethod
     def from_affine(cls, vecs: Sequence[Sequence[Affine]],
@@ -541,8 +560,8 @@ class StackedVec:
         rows = tuple(bi for bi, _ in terms_flat)
         out = _compiled(
             f"msm_rows_w{rows}",
-            lambda pv, dg, rows=rows: msm_rows_windows_device(pv, dg, rows)
-        )(self.pv, jnp.asarray(digit_rows))          # [T, 64] window sums
+            lambda tb, dg, rows=rows: msm_rows_windows_from_table(tb, dg, rows)
+        )(self.table(), jnp.asarray(digit_rows))     # [T, 64] window sums
         flat = to_affine_host(out)                   # one stacked fetch
         res = [None] * len(jobs)
         for t, j in enumerate(owners):
@@ -592,6 +611,69 @@ class StackedVec:
                 [int(s) % fh.R for s in row])
         pv = _compiled("smul", scalar_mul_device)(self.pv, jnp.asarray(digits))
         return StackedVec(pv, self.n_valid)
+
+
+class FoldedBases:
+    """Lazy folding view over a StackedVec: folds and per-lane rescales are
+    scalar-side transforms, not device base updates.
+
+    The folding arguments update bases G' = G_lo + gamma*G_hi every round
+    (/root/reference/innerproductargument/innerproductargument.go:155-166,
+    samemultiscalarargument.go:85-140). Since <v, G'> = <v ++ gamma*v, G>,
+    the prover can instead keep the ORIGINAL bases on device — the multiples
+    table is built once per argument — and push every fold into the scalars
+    (O(n) host Fr muls per round). This removes the per-round device fold
+    (a full 256-bit scalar-mul chain, the prover's single largest cost) and
+    the per-round table rebuild, while producing byte-identical proofs.
+
+    A logical row maps to a base row plus an optional per-lane diagonal
+    multiplier d (row = d[i]*base[i]): <v, d.base> = <v*d, base>. The
+    grand-product argument uses this for its rescaled bases Gs' = Gs*beta^-i
+    (grandproductargument.go:94-103) — no device rescale at all.
+    """
+
+    def __init__(self, sv: StackedVec, rows: Sequence[int] = None,
+                 diags: dict = None, gammas: List[List[int]] = None,
+                 n_valid: int = None):
+        self.sv = sv
+        self.rows = list(rows) if rows is not None else list(range(sv.k))
+        self.k = len(self.rows)
+        self.width = sv.width
+        self.diags = diags or {}          # logical row -> per-lane multiplier
+        self.gammas = gammas or []        # one list of per-logical-row g/round
+        self.n_valid = sv.n_valid if n_valid is None else n_valid
+
+    @classmethod
+    def from_affine(cls, vecs: Sequence[Sequence[Affine]],
+                    pad_to: int = 0) -> "FoldedBases":
+        return cls(StackedVec.from_affine(vecs, pad_to=pad_to))
+
+    def fold(self, gammas) -> "FoldedBases":
+        """Record a fold out[i] = in[i] + gamma_row * in[i + n/2]; no device
+        work. `gammas` is one scalar or one per logical row."""
+        if not isinstance(gammas, (list, tuple)):
+            gammas = [gammas] * self.k
+        return FoldedBases(self.sv, self.rows, self.diags,
+                           self.gammas + [list(gammas)], self.n_valid // 2)
+
+    def _expand(self, row: int, scalars: Sequence[int], offset: int):
+        """Lift (scalars at offset, current fold level) to level-0 scalars."""
+        u = [0] * self.n_valid
+        for i, s in enumerate(scalars):
+            u[offset + i] = int(s) % fh.R
+        for per_row in reversed(self.gammas):
+            g = per_row[row]
+            u = u + [s * g % fh.R for s in u]
+        d = self.diags.get(row)
+        if d is not None:
+            u = [s * di % fh.R if di is not None else s
+                 for s, di in zip(u, list(d) + [1] * (len(u) - len(d)))]
+        return u
+
+    def msm_many(self, jobs: Sequence[Sequence[tuple]]) -> List[Affine]:
+        out_jobs = [[(self.rows[r], self._expand(r, sc, off), 0)
+                     for (r, sc, off) in terms] for terms in jobs]
+        return self.sv.msm_many(out_jobs)
 
 
 class DeviceVec:

@@ -216,8 +216,8 @@ def _stage_call(kind: str, ivs, interpret: bool):
         return _call_cache[key]
 
     fn, n_in, n_out = _STAGES[kind]
-    red = jnp.asarray(RED)
-    fold = jnp.asarray(FOLD).reshape(1, NL)
+    red = np.asarray(RED)                    # numpy: safe to close over
+    fold = np.asarray(FOLD).reshape(1, NL)   # across traces (no tracer leak)
 
     def kernel(red_ref, fold_ref, *refs):
         F = _KF(red_ref[:], fold_ref[:])
