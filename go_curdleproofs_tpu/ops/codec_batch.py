@@ -13,7 +13,8 @@ from typing import List, Sequence
 import jax
 import jax.numpy as jnp
 
-from . import curve, fp
+from . import curve
+from . import field_backend as fp
 from ..utils import field_host as fh
 from ..utils.field_host import Affine
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from . import fp
+from . import field_backend as fp
 from .curve import PointVec
 from ..utils.field_host import P
 

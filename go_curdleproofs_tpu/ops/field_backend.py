@@ -8,15 +8,16 @@ Two interchangeable Fp implementations:
                      VPU ops + constant MXU matmuls (~66x faster per lane on
                      a v5e); exact on CPU and TPU.
 
-Selection: CURDLE_FP=limb|rns forces; "auto" (default) picks limbs
-everywhere. Measured end-to-end on a v5e (2026-08-18): RNS wins the
-wide-batch mul microbench 66x but LOSES the composed protocol 9x
-(prove n=508: 63.7s RNS vs 7.4s limb; verify 7.3s vs 1.06s) — the
-per-mul 37x37 HIGHEST-precision base-extension matmuls pad to 128x128
-MXU tiles and fragment XLA fusions at protocol batch shapes. RNS stays
-opt-in (CURDLE_FP=rns) pending a Pallas kernel that keeps whole point
-ops in VMEM. Resolved once at import (the choice changes traced
-programs, so it must be stable for the process)."""
+Selection: CURDLE_FP=limb|rns forces; "auto" (default) picks RNS
+everywhere. Measured end-to-end on a v5e (2026-08-19): the composed
+protocol is ~2x faster under RNS once conversions stay on the host
+(prove n=508 3.0s vs 5.9s; round-1's "RNS loses 9x" was entirely the
+old device-side canonical_digits fetch path — ~900 eagerly dispatched
+ops per fetch at ~2.4s each through the TPU tunnel; raw-channel
+fetches + one numpy CRT matmul removed it). The limb backend remains
+the oracle/compat path (CURDLE_FP=limb). Resolved once at import (the
+choice changes traced programs, so it must be stable for the
+process)."""
 
 from __future__ import annotations
 
@@ -28,7 +29,7 @@ _MODE = os.environ.get("CURDLE_FP", "auto")
 def _pick() -> str:
     if _MODE in ("limb", "rns"):
         return _MODE
-    return "limb"
+    return "rns"
 
 
 BACKEND = _pick()

@@ -133,6 +133,19 @@ class _Consts:
                        for i in range(NLIMB)], dtype=np.int64)  # [49, 2J]
         self.pw_int = pw
         self.m_int = np.array(pr, dtype=np.int64)               # [2J]
+        self.M1_mod_p = self.M1 % P
+
+        # host vectorized CRT (to_ints_np): weights w_j = (M1/q_j) *
+        # ((M1/q_j)^-1 mod q_j), decomposed into base-2^24 limbs so the
+        # channel-weighted sum is an exact int64 matmul.
+        crt_w = [(self.M1 // int(q)) * pow((self.M1 // int(q)) % int(q),
+                                           -1, int(q)) for q in self.q]
+        nw = (self.M1.bit_length() + 23) // 24 + 1
+        self.crt_w_limbs = np.array(
+            [[(w >> (24 * k)) & 0xFFFFFF for k in range(nw)] for w in crt_w],
+            dtype=np.int64)                                     # [J, nw]
+        self.crt_nw = nw
+        self.M1_inv_p = pow(self.M1, -1, P)
 
         # device RNS -> canonical-limb CRT (fp_rns.canonical_digits):
         # value ≡ sum_j (64*xi_hi_j + xi_lo_j)*(M1/q_j) - gamma*M1 (mod p),
@@ -279,33 +292,40 @@ def squash(a: RElem) -> RElem:
 def from_ints(vals: Sequence[int], mont: bool = True) -> RElem:
     """Python ints -> device RElem (Montgomery domain by default).
 
-    Vectorized: ints -> little-endian bytes -> numpy int64 matmul with the
-    2^(8i)-mod-m table -> channels; the Montgomery factor is applied with one
-    device mont_mul by M1^2 (bound 1*1, output bound 3)."""
+    Pure host: the Montgomery factor is applied per value mod p (one bigint
+    mul each), then ints -> little-endian bytes -> numpy int64 matmul with
+    the 2^(8i)-mod-m table -> channels. No device work at all, so callers
+    never pay an eager dispatch."""
     C = consts()
+    if mont:
+        m1p = C.M1_mod_p
+        vals = [int(v) * m1p % P for v in vals]
     buf = b"".join(int(int(v) % P).to_bytes(49, "little") for v in vals)
     byts = np.frombuffer(buf, np.uint8).reshape(len(vals), 49).astype(np.int64)
     ch = (byts @ C.pw_int) % C.m_int          # terms < 2^25: int64-exact
-    raw = RElem(jnp.asarray(ch, dtype=DTYPE), 1)
-    if not mont:
-        return raw
-    return mont_mul(raw, RElem(jnp.asarray(C.M1SQ), 1))
+    return RElem(jnp.asarray(ch, dtype=DTYPE), 1)
+
+
+def to_ints_np(ch_arr: np.ndarray, mont: bool = True) -> List[int]:
+    """Fetched raw channels [..., 2J] -> python ints mod p.
+
+    Vectorized host CRT over the B1 channels: one int64 matmul against the
+    base-2^24 CRT weight limbs (terms < 2^35, sums < 2^41: exact), then a
+    cheap per-element recompose + mod. Exits the Montgomery domain if mont.
+    """
+    C = consts()
+    arr = np.asarray(ch_arr).astype(np.int64)
+    flat = arr.reshape(-1, arr.shape[-1])[:, :J]     # B1 channels
+    acc = flat @ C.crt_w_limbs                        # [N, nw]
+    shifts = [1 << (24 * k) for k in range(C.crt_nw)]
+    out = []
+    minv = C.M1_inv_p if mont else 1
+    for row in acc:
+        v = sum(int(c) * s for c, s in zip(row, shifts)) % C.M1
+        out.append(v * minv % P if mont else v % P)
+    return out
 
 
 def to_ints(e: RElem) -> List[int]:
-    """Device RElem -> python ints mod p (exits Montgomery domain).
-
-    Host-side CRT over base 1 channels.
-    """
-    C = consts()
-    x = mont_mul(e, RElem(jnp.asarray(C.ONE), 1))   # exit Montgomery, bound 3
-    ch = np.asarray(x.ch).astype(np.int64)
-    flat = ch.reshape(-1, 2 * J)
-    out = []
-    for row in flat:
-        v = 0
-        for j in range(J):
-            m = C.M1 // int(C.q[j])
-            v += int(row[j]) * pow(m % int(C.q[j]), -1, int(C.q[j])) % int(C.q[j]) * m
-        out.append(v % C.M1 % P)
-    return out
+    """Device RElem -> python ints mod p (exits Montgomery domain)."""
+    return to_ints_np(np.asarray(e.ch), mont=True)

@@ -64,13 +64,11 @@ def _sharded_msm_body(x, y, z, digits):
 
 def make_sharded_msm(mesh: Mesh):
     """Build a jitted sharded-MSM executable over `mesh`'s AXIS."""
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         _sharded_msm_body, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(), P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 

@@ -1,7 +1,19 @@
 """Device-resident provers must produce byte-identical proofs to the host
-path (same transcript evolution, same randomness draws)."""
+path (same transcript evolution, same randomness draws).
+
+The round-1 device prover is built on the limb Fp backend; run with
+CURDLE_FP=limb (the RNS-backed device prover that supersedes it has its own
+tests)."""
 
 import io
+
+import pytest
+
+from go_curdleproofs_tpu.ops import field_backend
+
+pytestmark = pytest.mark.skipif(
+    field_backend.BACKEND != "limb",
+    reason="round-1 device prover is limb-backend-specific (CURDLE_FP=limb)")
 
 from go_curdleproofs_tpu.models import (device_prover, inner_product,
                                         same_multiscalar)
