@@ -1,0 +1,386 @@
+"""Fused Pallas TPU kernels over the RNS-Montgomery field (ops/rns.py).
+
+Why RNS + Pallas is the TPU-native answer for the point-op hot path
+(replaces gnark-crypto's G1 assembly, /root/reference go.mod:6):
+
+  * a 381-bit modular multiply in RNS is ~50 *elementwise* channel ops
+    (no carries, no lane-crossing shuffles - the VPU's best case) plus
+    8 small constant-matrix products that ride the MXU;
+  * the Bajard-Imbert base-extension matmuls here use an 8-bit-split
+    bf16 formulation: every matrix/vector piece is < 2^8 (bf16-exact),
+    every dot's accumulation stays < 2^22 (f32-exact), so the dots run
+    at the MXU's native bf16 rate with *bit-exact integer* results -
+    no HIGHEST-precision multi-pass tricks;
+  * fusing a whole RCB16 point add/double into one kernel keeps the
+    ~20 field-element temporaries in VMEM: zero HBM round-trips and
+    zero XLA op-dispatch overhead between the 12 multiplies.
+
+Value semantics mirror ops/rns.py op-for-op. The gamma (base-extension
+quotient) estimate uses an exact integer dot against K_j=round(2^29/q_j)
+split into 8-bit pieces: |est - true| <= 37*2^11*0.5/2^29 (+ 2 f32
+roundings) < 2^-13.5, inside the 2^-12 undershoot slack that the value
+bounds absorb (see ops/rns.py docstring) - so outputs land in the same
+bound-3 contract (channel values may differ from the XLA path only by
+the tolerated extra multiple of p; all residues and all downstream
+proof bytes are identical).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rns
+
+J = rns.J
+CH = 2 * J                      # 74 channels
+NCOL = 128                      # dot output width: 74 targets + 3 gamma cols
+BLOCK = 256                     # batch rows per grid step
+
+_GAMMA_SLACK = float(rns._gamma_slack)
+
+
+def _split8(mat: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    return mat >> 8, mat & 255
+
+
+class _KConsts:
+    """Packed kernel constants (built once from rns.consts())."""
+
+    def __init__(self):
+        C = rns.consts()
+        q = C.q.astype(np.int64)
+        r = C.r.astype(np.int64)
+        m = np.concatenate([q, r])
+        self.m = m.astype(np.float32).reshape(1, CH)
+        self.inv_m = (1.0 / m.astype(np.float64)).astype(np.float32).reshape(1, CH)
+
+        f32row = lambda a: np.asarray(a, np.float32).reshape(1, CH)
+        z = np.zeros(J, np.float32)
+        self.xi_mul = f32row(np.concatenate([np.asarray(C.xi_mul), z]))
+        self.zeta_mul = f32row(np.concatenate([z, np.asarray(C.zeta_mul)]))
+        self.p_r = f32row(np.concatenate([z, np.asarray(C.p_r)]))
+        self.m1inv_r = f32row(np.concatenate([z, np.asarray(C.M1inv_r)]))
+        self.neg_m1 = f32row(np.concatenate([z, np.asarray(C.negM1_r)]))
+        self.neg_m2 = f32row(np.concatenate([np.asarray(C.negM2_q), z]))
+
+        # extension matrices, 8-bit split, bf16 (cols 0..73 = targets in
+        # combined-lane space; cols 74..76 = gamma K pieces)
+        c1 = np.array([[(C.M1 // int(qj)) % int(rk) for rk in r] for qj in q],
+                      dtype=np.int64)                       # [J(q), J(r)]
+        c2 = np.array([[(C.M2 // int(rk)) % int(qj) for qj in q] for rk in r],
+                      dtype=np.int64)                       # [J(r), J(q)]
+        k1 = np.array([round((1 << 29) / int(qj)) for qj in q], np.int64)
+        k2 = np.array([round((1 << 29) / int(rk)) for rk in r], np.int64)
+        assert k1.max() < (1 << 19) and k2.max() < (1 << 19)
+
+        def pack(cmat, kvec, src_lo: int, dst_lo: int):
+            """rows src_lo..src_lo+J-1 -> target cols dst_lo.., gamma cols
+            74..76; returns (hi, lo) bf16 matrices [CH, NCOL]."""
+            hi = np.zeros((CH, NCOL), np.int64)
+            lo = np.zeros((CH, NCOL), np.int64)
+            ch, cl = _split8(cmat)
+            hi[src_lo:src_lo + J, dst_lo:dst_lo + J] = ch
+            lo[src_lo:src_lo + J, dst_lo:dst_lo + J] = cl
+            kp = np.stack([kvec >> 16, (kvec >> 8) & 255, kvec & 255], 1)
+            hi[src_lo:src_lo + J, 74:77] = kp
+            lo[src_lo:src_lo + J, 74:77] = kp
+            assert hi.max() < 256 and lo.max() < 256
+            return hi.astype(np.float32), lo.astype(np.float32)
+
+        # stored f32; cast to bf16 inside the kernel (values < 2^8: exact)
+        self.mh1, self.ml1 = pack(c1, k1, 0, J)    # B1 -> B2 (targets 37..73)
+        self.mh2, self.ml2 = pack(c2, k2, J, 0)    # B2 -> B1 (targets 0..36)
+
+        # negation table rows (bound -> channels of bound*p)
+        self.bp = np.asarray(C.bp_table, np.float32)         # [256+1, CH]
+
+
+_KC = None
+
+
+def kconsts() -> _KConsts:
+    global _KC
+    if _KC is None:
+        _KC = _KConsts()
+    return _KC
+
+
+# -----------------------------------------------------------------------------
+# in-kernel field ops: elements are (ch [B, CH] f32, bound int)
+
+
+class KF:
+    """Kernel-side RNS field, mirroring ops/rns.py value semantics."""
+
+    def __init__(self, m, inv_m, xi_mul, zeta_mul, p_r, m1inv_r,
+                 neg_m1, neg_m2, mh1, ml1, mh2, ml2, bp):
+        self.m, self.inv_m = m, inv_m
+        self.xi_mul, self.zeta_mul = xi_mul, zeta_mul
+        self.p_r, self.m1inv_r = p_r, m1inv_r
+        self.neg_m1, self.neg_m2 = neg_m1, neg_m2
+        self.mh1, self.ml1, self.mh2, self.ml2 = mh1, ml1, mh2, ml2
+        self.bp = bp
+
+    # -- channel helpers ------------------------------------------------------
+
+    def _mod(self, v):
+        """Exact v mod m for 0 <= v < 2^23 (two corrections)."""
+        t = jnp.floor(v * self.inv_m)
+        rr = v - t * self.m
+        rr = jnp.where(rr < 0, rr + self.m, rr)
+        rr = jnp.where(rr >= self.m, rr - self.m, rr)
+        return rr
+
+    def _dot(self, v, mat):
+        return jax.lax.dot_general(
+            v.astype(jnp.bfloat16), mat.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # -- ring ops (bound bookkeeping mirrors rns.py) ---------------------------
+
+    def add(self, a, b):
+        (av, ab), (bv, bb) = a, b
+        s = av + bv
+        s = jnp.where(s >= self.m, s - self.m, s)
+        return (s, ab + bb)
+
+    def neg(self, a):
+        av, ab = a
+        assert ab <= rns.BOUND_P_MAX
+        row = self.bp[ab:ab + 1]
+        s = row - av
+        s = jnp.where(s < 0, s + self.m, s)
+        return (s, ab)
+
+    def sub(self, a, b):
+        return self.add(a, self.neg(b))
+
+    def mul_small(self, a, c: int):
+        av, ab = a
+        assert ab * c <= rns.BOUND_P_MAX and c <= 255
+        return (self._mod(av * float(c)), ab * c)
+
+    def _gamma_frac(self, dh, dl):
+        """Exact-integer gamma estimate from the packed K-piece columns."""
+        g = (dh[:, 74:75] * (2.0 ** -5) + dh[:, 75:76] * (2.0 ** -13)
+             + dh[:, 76:77] * (2.0 ** -21)
+             + dl[:, 74:75] * (2.0 ** -13) + dl[:, 75:76] * (2.0 ** -21)
+             + dl[:, 76:77] * (2.0 ** -29))
+        return g                                            # [B, 1]
+
+    def _extend(self, xi, mh, ml, neg_m, round_up: bool):
+        """Base extension: xi [B, CH] (source channels; zeros elsewhere) ->
+        (w [B, CH] on target channels, via 4 bf16 dots), gamma folded in."""
+        h = jnp.floor(xi * (2.0 ** -8))
+        l = xi - h * 256.0
+        dh_h = self._dot(h, mh)          # hC_hi | hK pieces
+        dh_l = self._dot(h, ml)          # hC_lo
+        dl_h = self._dot(l, mh)          # lC_hi
+        dl_l = self._dot(l, ml)          # lC_lo | lK pieces
+        gfrac = self._gamma_frac(dh_h, dl_l)
+        if round_up:
+            gamma = jnp.floor(gfrac + 0.5)
+        else:
+            gamma = jnp.floor(gfrac - _GAMMA_SLACK)
+        u = self._mod(dh_h[:, :CH] * 256.0 + dh_l[:, :CH] + dl_h[:, :CH])
+        w = self._mod(u * 256.0 + dl_l[:, :CH]
+                      + jnp.broadcast_to(gamma, u.shape) * neg_m)
+        return w
+
+    def mont_mul(self, a, b):
+        """(a*b/M1) mod-p-equivalent; output bound 3 (rns.mont_mul)."""
+        av, ab = a
+        bv, bb = b
+        assert ab * bb <= rns.BOUND_PROD_MAX, (ab, bb)
+        s = self._mod(av * bv)
+        xi = self._mod(s * self.xi_mul)               # B1 lanes only
+        w2 = self._extend(xi, self.mh1, self.ml1, self.neg_m1, False)
+        t2 = self._mod(self._mod(s + w2 * self.p_r) * self.m1inv_r)
+        # t2 lives on B2 lanes; B1 lanes are zero
+        zeta = self._mod(t2 * self.zeta_mul)
+        t1 = self._extend(zeta, self.mh2, self.ml2, self.neg_m2, True)
+        # t1 on B1 lanes, t2 on B2 lanes: disjoint -> combine by add
+        lane = jax.lax.broadcasted_iota(jnp.int32, t2.shape, 1)
+        return (jnp.where(lane < J, t1, t2), 3)
+
+    def square(self, a):
+        return self.mont_mul(a, a)
+
+
+def make_kf() -> KF:
+    kc = kconsts()
+    return KF(kc.m, kc.inv_m, kc.xi_mul, kc.zeta_mul, kc.p_r, kc.m1inv_r,
+              kc.neg_m1, kc.neg_m2, kc.mh1, kc.ml1, kc.mh2, kc.ml2, kc.bp)
+
+
+# -----------------------------------------------------------------------------
+# point formulas over KF (RCB16 complete, a=0, b3=12; mirrors ops/curve.py)
+
+
+def kf_point_add(F: KF, p, q):
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    t0 = F.mont_mul(x1, x2)
+    t1 = F.mont_mul(y1, y2)
+    t2 = F.mont_mul(z1, z2)
+    m4 = F.mont_mul(F.add(x1, y1), F.add(x2, y2))
+    m5 = F.mont_mul(F.add(y1, z1), F.add(y2, z2))
+    m6 = F.mont_mul(F.add(x1, z1), F.add(x2, z2))
+    t3 = F.sub(m4, F.add(t0, t1))
+    t4 = F.sub(m5, F.add(t1, t2))
+    y3 = F.sub(m6, F.add(t0, t2))
+    t0_3 = F.add(F.add(t0, t0), t0)
+    t2b = F.mul_small(t2, 12)
+    z3 = F.add(t1, t2b)
+    t1m = F.sub(t1, t2b)
+    y3b = F.mul_small(y3, 12)
+    x3 = F.sub(F.mont_mul(t3, t1m), F.mont_mul(t4, y3b))
+    y3o = F.add(F.mont_mul(t1m, z3), F.mont_mul(y3b, t0_3))
+    z3o = F.add(F.mont_mul(z3, t4), F.mont_mul(t0_3, t3))
+    return x3, y3o, z3o
+
+
+def kf_point_double(F: KF, p):
+    x, y, z = p
+    t0 = F.mont_mul(y, y)
+    t1 = F.mont_mul(y, z)
+    t2 = F.mul_small(F.mont_mul(z, z), 12)
+    m4 = F.mont_mul(x, y)
+    t00 = F.add(t0, t0)
+    t04 = F.add(t00, t00)
+    z3s = F.add(t04, t04)                        # 8*t0
+    y3s = F.add(t0, t2)
+    t0m = F.sub(t0, F.add(F.add(t2, t2), t2))    # t0 - 3*t2
+    n4 = F.mont_mul(t0m, m4)
+    x3 = F.add(n4, n4)
+    y3 = F.add(F.mont_mul(t2, z3s), F.mont_mul(t0m, y3s))
+    z3 = F.mont_mul(t1, z3s)
+    return x3, y3, z3
+
+
+# -----------------------------------------------------------------------------
+# pallas wrappers
+
+_CONST_NAMES = ("m", "inv_m", "xi_mul", "zeta_mul", "p_r", "m1inv_r",
+                "neg_m1", "neg_m2", "mh1", "ml1", "mh2", "ml2", "bp")
+
+
+def _const_arrays():
+    kc = kconsts()
+    return [getattr(kc, n) for n in _CONST_NAMES]
+
+
+def _const_specs():
+    from jax.experimental import pallas as pl
+    kc = kconsts()
+    return [pl.BlockSpec(getattr(kc, n).shape, lambda i: (0, 0))
+            for n in _CONST_NAMES]
+
+
+_call_cache = {}
+
+
+def _fused_call(kind: str, bounds: tuple, n_in: int, n_out: int, fn,
+                interpret: bool):
+    """Build/caches a pallas_call running `fn(F, ins)->outs` per block."""
+    from jax.experimental import pallas as pl
+
+    key = (kind, bounds, interpret)
+    if key in _call_cache:
+        return _call_cache[key]
+
+    def kernel(*refs):
+        consts = refs[:len(_CONST_NAMES)]
+        F = KF(*[c[:] for c in consts])
+        ins = refs[len(_CONST_NAMES):len(_CONST_NAMES) + n_in]
+        outs = refs[len(_CONST_NAMES) + n_in:]
+        vals = [(r[:], b) for r, b in zip(ins, bounds)]
+        res = fn(F, vals)
+        for r, (v, _) in zip(outs, res):
+            r[:] = v
+
+    def run(flats):
+        n = flats[0].shape[0]
+        spec = pl.BlockSpec((BLOCK, CH), lambda i: (i, 0))
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((n, CH), jnp.float32)] * n_out,
+            grid=(n // BLOCK,),
+            in_specs=_const_specs() + [spec] * n_in,
+            out_specs=[spec] * n_out,
+            interpret=interpret,
+        )(*_const_arrays(), *flats)
+
+    jfn = jax.jit(run)
+    _call_cache[key] = jfn
+    return jfn
+
+
+def _run_fused(kind, fn, elems, bounds, n_out, interpret):
+    """elems: list of channel arrays [..., CH]; returns list of ([..., CH],
+    bound 3) outputs."""
+    batch = elems[0].shape[:-1]
+    size = int(np.prod(batch)) if batch else 1
+    pad = (-size) % BLOCK
+    flats = []
+    for e in elems:
+        f = e.reshape(size, CH)
+        if pad:
+            f = jnp.concatenate([f, jnp.zeros((pad, CH), f.dtype)])
+        flats.append(f)
+    outs = _fused_call(kind, tuple(bounds), len(elems), n_out, fn, interpret)(
+        flats)
+    res = []
+    for o in outs:
+        if pad:
+            o = o[:size]
+        res.append(o.reshape(batch + (CH,)))
+    return res
+
+
+def point_add(p, q, interpret: bool = False):
+    """Fused complete RCB16 add over RElem PointVecs: ONE kernel."""
+    from .curve import PointVec
+    elems = [p.x.ch, p.y.ch, p.z.ch, q.x.ch, q.y.ch, q.z.ch]
+    bounds = [p.x.bound, p.y.bound, p.z.bound,
+              q.x.bound, q.y.bound, q.z.bound]
+
+    def fn(F, vals):
+        x, y, z = kf_point_add(F, vals[0:3], vals[3:6])
+        return [x, y, z]
+
+    outs = _run_fused("add", fn, elems, bounds, 3, interpret)
+    return PointVec(rns.RElem(outs[0], 6), rns.RElem(outs[1], 6),
+                    rns.RElem(outs[2], 6))
+
+
+def point_double(p, interpret: bool = False):
+    """Fused complete RCB16 double over an RElem PointVec: ONE kernel."""
+    from .curve import PointVec
+    elems = [p.x.ch, p.y.ch, p.z.ch]
+    bounds = [p.x.bound, p.y.bound, p.z.bound]
+
+    def fn(F, vals):
+        x, y, z = kf_point_double(F, vals[0:3])
+        return [x, y, z]
+
+    outs = _run_fused("dbl", fn, elems, bounds, 3, interpret)
+    return PointVec(rns.RElem(outs[0], 6), rns.RElem(outs[1], 6),
+                    rns.RElem(outs[2], 6))
+
+
+def mont_mul(a: rns.RElem, b: rns.RElem,
+             interpret: bool = False) -> rns.RElem:
+    """Standalone fused mont_mul (tests/benches)."""
+    def fn(F, vals):
+        return [F.mont_mul(vals[0], vals[1])]
+
+    out = _run_fused("mul", fn, [a.ch, b.ch], [a.bound, b.bound], 1,
+                     interpret)
+    return rns.RElem(out[0], 3)

@@ -1,0 +1,59 @@
+"""Fused RNS Pallas kernels (ops/rns_kernels.py): bit-exact vs the host
+bignum oracle and the ops/rns.py XLA path (interpret mode on CPU; the same
+kernels run compiled on TPU - scripts/test_rns_kernels.py)."""
+
+import random
+
+import pytest
+
+from go_curdleproofs_tpu.ops import field_backend, rns, rns_kernels
+from go_curdleproofs_tpu.utils import field_host as fh
+from go_curdleproofs_tpu.utils.field_host import P
+
+pytestmark = pytest.mark.skipif(
+    field_backend.BACKEND != "rns",
+    reason="point-level kernel tests build PointVecs via the rns backend")
+
+
+def test_fused_mont_mul_exact():
+    random.seed(41)
+    n = 300  # not a BLOCK multiple: exercises padding
+    xs = [random.randrange(P) for _ in range(n)]
+    ys = [random.randrange(P) for _ in range(n)]
+    xs[:6] = [0, 1, P - 1, P - 2, 2, (P + 1) // 2]
+    ys[:6] = [0, P - 1, P - 1, 1, (P - 1) // 2, 2]
+    a = rns.from_ints(xs)
+    b = rns.from_ints(ys)
+    got = rns.to_ints(rns_kernels.mont_mul(a, b, interpret=True))
+    assert got == [x * y % P for x, y in zip(xs, ys)]
+
+
+def test_fused_point_ops_match_oracle():
+    from go_curdleproofs_tpu.ops import curve
+
+    random.seed(42)
+    m = 40
+    pts = [fh.g1_mul(fh.G1_GEN, random.randrange(1, fh.R)) for _ in range(m)]
+    qts = [fh.g1_mul(fh.G1_GEN, random.randrange(1, fh.R)) for _ in range(m)]
+    pts[0] = None
+    qts[1] = None
+    pts[2] = None
+    qts[2] = None
+    qts[3] = pts[3]                               # doubling through add
+    qts[4] = (pts[4][0], (P - pts[4][1]) % P)     # inverse pair -> infinity
+    pv = curve.from_affine_host(pts)
+    qv = curve.from_affine_host(qts)
+
+    got = curve.to_affine_host(rns_kernels.point_add(pv, qv, interpret=True))
+    assert got == [fh.g1_add(p, q) for p, q in zip(pts, qts)]
+
+    got = curve.to_affine_host(rns_kernels.point_double(pv, interpret=True))
+    assert got == [fh.g1_add(p, p) for p in pts]
+
+    # chained bound-6 inputs (REDUCED contract)
+    r2 = rns_kernels.point_add(
+        rns_kernels.point_add(pv, qv, interpret=True),
+        rns_kernels.point_double(qv, interpret=True), interpret=True)
+    want = [fh.g1_add(fh.g1_add(p, q), fh.g1_add(q, q))
+            for p, q in zip(pts, qts)]
+    assert curve.to_affine_host(r2) == want
