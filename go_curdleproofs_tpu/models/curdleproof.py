@@ -150,10 +150,17 @@ def prove(crs: CRS, Rs: List[Affine], Ss: List[Affine], Ts: List[Affine],
 
 def verify(proof: Proof, crs: CRS, Rs: List[Affine], Ss: List[Affine],
            Ts: List[Affine], Us: List[Affine], M: Affine,
-           rand: Rand) -> bool:
-    """curdleproof.go:199-318."""
+           rand: Rand, accumulator: MsmAccumulator = None) -> bool:
+    """curdleproof.go:199-318.
+
+    accumulator: optionally an externally-owned MsmAccumulator — all of
+    this proof's deferred checks fold into it and the CALLER runs the one
+    final MSM (batched verification, parallel/batch.py). When None, a local
+    accumulator is created and verified here (the reference's behavior).
+    """
     transcript = Transcript(LABEL_TRANSCRIPT)
-    msm_accumulator = MsmAccumulator()
+    deferred = accumulator is not None
+    msm_accumulator = accumulator if deferred else MsmAccumulator()
 
     # reject a zero randomizer that wiped the ciphertexts
     if Ts[0] is None:
@@ -195,6 +202,8 @@ def verify(proof: Proof, crs: CRS, Rs: List[Affine], Ss: List[Affine],
 
     msm_accumulator.accumulate_check(proof.r, as_, Rs, rand)
     msm_accumulator.accumulate_check(proof.s, as_, Ss, rand)
+    if deferred:
+        return True
     return msm_accumulator.verify()
 
 

@@ -74,8 +74,29 @@ def _mul6(avec, bvec):
     return [fp.fmap(lambda t, i=i: t[i], m) for i in range(k)]
 
 
+_RNS_KERNEL_MODE = os.environ.get("CURDLE_RNS_KERNEL", "auto")
+_rns_kernel_on = None
+
+
+def _rns_kernel() -> bool:
+    """Fused RNS Pallas point kernels: on for the rns backend on TPU
+    (CURDLE_RNS_KERNEL=0/1 forces)."""
+    global _rns_kernel_on
+    if _rns_kernel_on is None:
+        if _RNS_KERNEL_MODE in ("0", "1"):
+            _rns_kernel_on = _RNS_KERNEL_MODE == "1"
+        else:
+            import jax as _jax
+            _rns_kernel_on = (fp.BACKEND == "rns"
+                              and _jax.default_backend() == "tpu")
+    return _rns_kernel_on
+
+
 def add(p: PointVec, q: PointVec) -> PointVec:
     """Complete projective addition (RCB16 Algorithm 7, a=0), two-stage."""
+    if _rns_kernel():
+        from . import rns_kernels
+        return rns_kernels.point_add(p, q)
     x1, y1, z1 = p
     x2, y2, z2 = q
     # stage 1: six independent products
@@ -102,6 +123,9 @@ def add(p: PointVec, q: PointVec) -> PointVec:
 
 def double(p: PointVec) -> PointVec:
     """Complete projective doubling (RCB16 Algorithm 9, a=0), two-stage."""
+    if _rns_kernel():
+        from . import rns_kernels
+        return rns_kernels.point_double(p)
     x, y, z = p
     t0, t1, t2r, m4 = _mul6([y, y, z, x], [y, z, z, y])
     t2 = fp.mul_small(t2r, B3)
