@@ -1,10 +1,14 @@
-"""Headline benchmark: full Curdleproofs shuffle prove for n=508 elements.
+"""Headline benchmarks: full Curdleproofs shuffle prove/verify sweep.
 
-Baseline (BASELINE.md): jsign/go-curdleproofs proves 508 shuffled elements in
-412.5 ms/op on a Ryzen 7 3800XT. The driver runs this on one real TPU chip.
+Baseline (BASELINE.md, Ryzen 7 3800XT 16-thread):
+  prove  n in {60,124,252,508}: 96.4 / 150.2 / 245.6 / 412.5 ms
+  verify n in {60,124,252,508}: 12.0 / 12.3 / 15.3 / 20.8 ms
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints ONE JSON line per metric (stdout); the HEADLINE metric
+(shuffle_prove_n508_latency) is the LAST line. Knobs:
+  BENCH_ELL=508       headline size
+  BENCH_REPS=3        headline prove reps
+  BENCH_SWEEP=1       also run the {60,124,252} sweep (0 to skip)
 """
 
 import json
@@ -15,11 +19,20 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-BASELINE_PROVE_508_MS = 412.5
+BASELINES = {
+    "prove": {60: 96.4, 124: 150.2, 252: 245.6, 508: 412.5},
+    "verify": {60: 12.0, 124: 12.3, 252: 15.3, 508: 20.8},
+}
 
 
-def main():
-    ell = int(os.environ.get("BENCH_ELL", "508"))
+def emit(metric, value, unit, baseline=None):
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if baseline:
+        rec["vs_baseline"] = round(baseline / value, 4)
+    print(json.dumps(rec), flush=True)
+
+
+def bench_size(ell, reps, emit_lines=True):
     from go_curdleproofs_tpu.models import curdleproof
     from go_curdleproofs_tpu.utils.rand import Rand
 
@@ -28,7 +41,7 @@ def main():
     crs = curdleproof.generate_crs(ell, rand)
     Rs = rand.get_g1s(ell)
     Ss = rand.get_g1s(ell)
-    print(f"# setup (crs + instance): {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# ell={ell} setup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     def one_prove():
         r = Rand(0xBEEF)
@@ -39,44 +52,82 @@ def main():
         proof = curdleproof.prove(crs, Rs, Ss, Ts, Us, M, perm, k, rs_m, r)
         return Ts, Us, M, proof
 
-    # warmup (compiles)
     t0 = time.time()
-    Ts, Us, M, proof = one_prove()
-    print(f"# warmup prove (incl. compile): {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    Ts, Us, M, proof = one_prove()              # warmup (compiles)
+    print(f"# ell={ell} warmup prove: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # verify correctness + steady-state timing (first call pays compiles)
     t0 = time.time()
     ok = curdleproof.verify(proof, crs, Rs, Ss, Ts, Us, M, Rand(1))
-    verify_s = time.time() - t0
     assert ok, "benchmark proof failed to verify"
-    print(f"# verify (cold, incl. compiles): {verify_s*1e3:.1f} ms",
+    print(f"# ell={ell} verify cold: {(time.time()-t0)*1e3:.1f} ms",
           file=sys.stderr)
-    t0 = time.time()
-    assert curdleproof.verify(proof, crs, Rs, Ss, Ts, Us, M, Rand(2))
-    print(f"# verify (steady): {(time.time()-t0)*1e3:.1f} ms", file=sys.stderr)
+    vts = []
+    for i in range(2):
+        t0 = time.time()
+        assert curdleproof.verify(proof, crs, Rs, Ss, Ts, Us, M, Rand(2 + i))
+        vts.append(time.time() - t0)
+    verify_ms = min(vts) * 1e3
 
-    # timed proves
-    reps = int(os.environ.get("BENCH_REPS", "3"))
     times = []
     for _ in range(reps):
         t0 = time.time()
         one_prove()
         times.append(time.time() - t0)
-    best_ms = min(times) * 1e3
-    print(f"# prove times (ms): {[round(t*1e3,1) for t in times]}",
+    prove_ms = min(times) * 1e3
+    print(f"# ell={ell} prove times (ms): {[round(t*1e3,1) for t in times]}",
           file=sys.stderr)
+
+    if emit_lines:
+        emit(f"shuffle_prove_n{ell}_latency", prove_ms, "ms",
+             BASELINES["prove"].get(ell))
+        emit(f"shuffle_verify_n{ell}_latency", verify_ms, "ms",
+             BASELINES["verify"].get(ell))
+    return prove_ms, verify_ms
+
+
+def bench_msm(n=1024):
+    """Raw device MSM throughput (BASELINE.json 'MSM points/s/chip')."""
+    import random
+
+    from go_curdleproofs_tpu.ops import curve
+    from go_curdleproofs_tpu.utils import field_host as fh
+
+    random.seed(17)
+    base = [fh.g1_mul(fh.G1_GEN, random.randrange(1, fh.R))
+            for _ in range(64)]
+    pts = [base[i % 64] for i in range(n)]
+    sc = [random.randrange(fh.R) for _ in range(n)]
+    curve.msm(pts, sc)                         # warmup
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        curve.msm(pts, sc)
+    dt = (time.time() - t0) / reps
+    emit("msm_points_per_s_chip", n / dt, "points/s")
+
+
+def main():
+    ell = int(os.environ.get("BENCH_ELL", "508"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    sweep = os.environ.get("BENCH_SWEEP", "1") == "1"
+
+    if sweep:
+        for e in (60, 124, 252):
+            if e != ell:
+                bench_size(e, reps=1)
+        bench_msm()
+
+    prove_ms, verify_ms = bench_size(ell, reps=reps, emit_lines=False)
 
     from go_curdleproofs_tpu.utils import profiling
     if profiling.ENABLED:
         print(profiling.report(), file=sys.stderr)
 
-    print(json.dumps({
-        "metric": f"shuffle_prove_n{ell}_latency",
-        "value": round(best_ms, 2),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_PROVE_508_MS / best_ms, 4),
-    }))
+    emit(f"shuffle_verify_n{ell}_latency", verify_ms, "ms",
+         BASELINES["verify"].get(ell))
+    # headline LAST (driver parses the final JSON line)
+    emit(f"shuffle_prove_n{ell}_latency", prove_ms, "ms",
+         BASELINES["prove"].get(ell))
 
 
 if __name__ == "__main__":

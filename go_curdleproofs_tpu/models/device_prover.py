@@ -30,10 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import compress_dev, curve, fr, strobe_dev
-from ..ops import fp
+from ..ops import field_backend as fp
 from ..ops.curve import PointVec
-from ..ops.fp import Fp
-from ..ops.limb_field import REDUCED
+from ..ops.limb_field import REDUCED       # fr (scalar field) carry contract
 from ..utils import field_host as fh
 from ..utils.field_host import Affine
 from ..utils.transcript import Transcript
@@ -201,8 +200,7 @@ def ipa_prove_device(bases: PointVec, h_point: PointVec,
     hp = curve.scalar_mul_device(h_point, fr_digits(beta))
 
     # stable pytree aux for the fori carry
-    bases = PointVec(Fp(bases.x.limbs, REDUCED), Fp(bases.y.limbs, REDUCED),
-                     Fp(bases.z.limbs, REDUCED))
+    bases = curve._settle(bases)
 
     lr0 = jnp.zeros((rounds, 4, 48), jnp.int32)
 
@@ -283,13 +281,9 @@ def ipa_prove_device(bases: PointVec, h_point: PointVec,
 
 def _stack_points(pvs: List[PointVec]) -> PointVec:
     def cat(get):
-        limbs = [get(p).limbs if get(p).limbs.ndim > 1 else get(p).limbs[None]
-                 for p in pvs]
-        iv = get(pvs[0]).iv
-        for p in pvs[1:]:
-            iv = (min(iv[0], get(p).iv[0]), max(iv[1], get(p).iv[1]),
-                  min(iv[2], get(p).iv[2]), max(iv[3], get(p).iv[3]))
-        return Fp(jnp.concatenate(limbs, axis=0), iv)
+        rows = [fp.fmap(lambda t: t if t.ndim > 1 else t[None], get(p))
+                for p in pvs]
+        return fp.concat(rows, axis=0)
 
     return PointVec(cat(lambda p: p.x), cat(lambda p: p.y),
                     cat(lambda p: p.z))
@@ -409,8 +403,7 @@ def samemsm_prove_device(bases: PointVec,        # [3, n]: G, T', U'
 
     x = fr.carry_to(fr.add(r, fr.mul(broadcast_scalar(alpha, n), x)), REDUCED)
 
-    bases = PointVec(Fp(bases.x.limbs, REDUCED), Fp(bases.y.limbs, REDUCED),
-                     Fp(bases.z.limbs, REDUCED))
+    bases = curve._settle(bases)
     lr0 = jnp.zeros((rounds, 6, 48), jnp.int32)
 
     def body(rd, carry):
