@@ -485,13 +485,18 @@ def msm_rows_windows_device(points: PointVec, digits: jnp.ndarray,
 
 
 def msm_rows_windows_from_table(table: PointVec, digits: jnp.ndarray,
-                                rows: tuple) -> PointVec:
+                                rows) -> PointVec:
     """Same as msm_rows_windows_device but over a precomputed multiples
     table [16, k, n] — the bases of a folding argument never change under
-    the lazy-fold scheme, so the table is built once per argument."""
+    the lazy-fold scheme, so the table is built once per argument.
+
+    `rows` may be a static tuple OR a traced [m] int32 vector: the traced
+    form keeps the jit cache keyed only on (k, n, m) instead of compiling
+    one executable per row layout (round-1 cold-verify cost)."""
     n = table.x.limbs.shape[-2]
-    rows_idx = np.asarray(rows, dtype=np.int32)
-    tab = pmap_coords(lambda t: t[:, rows_idx], table)      # [16, m, n]
+    if isinstance(rows, tuple):
+        rows = np.asarray(rows, dtype=np.int32)
+    tab = pmap_coords(lambda t: jnp.take(t, rows, axis=1), table)  # [16,m,n]
 
     m, nn, w = digits.shape
     oh = (digits[..., None] ==
@@ -580,12 +585,20 @@ class StackedVec:
                     sc[offset + i] = int(s) % fh.R
                 terms_flat.append((bi, scalars_to_digits(sc)))
                 owners.append(j)
-        digit_rows = np.stack([d for _, d in terms_flat])
-        rows = tuple(bi for bi, _ in terms_flat)
+        # pad the term count to a bucket so the jit cache is keyed on
+        # (k, n, bucket) only — row indices are a traced gather vector
+        # (padding rows carry zero digits -> infinity window sums, dropped)
+        t_real = len(terms_flat)
+        t_pad = _pad_pow2(t_real, minimum=1)
+        digit_rows = np.zeros((t_pad,) + terms_flat[0][1].shape, np.int32)
+        rows_idx = np.zeros(t_pad, np.int32)
+        for t, (bi, d) in enumerate(terms_flat):
+            digit_rows[t] = d
+            rows_idx[t] = bi
         out = _compiled(
-            f"msm_rows_w{rows}",
-            lambda tb, dg, rows=rows: msm_rows_windows_from_table(tb, dg, rows)
-        )(self.table(), jnp.asarray(digit_rows))     # [T, 64] window sums
+            f"msm_rows_t{t_pad}x{self.k}x{self.width}",
+            msm_rows_windows_from_table,
+        )(self.table(), jnp.asarray(digit_rows), jnp.asarray(rows_idx))
         flat = to_affine_host(out)                   # one stacked fetch
         res = [None] * len(jobs)
         for t, j in enumerate(owners):

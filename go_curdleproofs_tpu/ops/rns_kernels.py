@@ -98,6 +98,8 @@ class _KConsts:
 
         # negation table rows (bound -> channels of bound*p)
         self.bp = np.asarray(C.bp_table, np.float32)         # [256+1, CH]
+        # 1 in Montgomery form (M1 mod p): pow ladder's squash multiplier
+        self.one_mont = np.asarray(C.M1_modp, np.float32).reshape(1, CH)
 
 
 _KC = None
@@ -118,13 +120,14 @@ class KF:
     """Kernel-side RNS field, mirroring ops/rns.py value semantics."""
 
     def __init__(self, m, inv_m, xi_mul, zeta_mul, p_r, m1inv_r,
-                 neg_m1, neg_m2, mh1, ml1, mh2, ml2, bp):
+                 neg_m1, neg_m2, mh1, ml1, mh2, ml2, bp, one_mont):
         self.m, self.inv_m = m, inv_m
         self.xi_mul, self.zeta_mul = xi_mul, zeta_mul
         self.p_r, self.m1inv_r = p_r, m1inv_r
         self.neg_m1, self.neg_m2 = neg_m1, neg_m2
         self.mh1, self.ml1, self.mh2, self.ml2 = mh1, ml1, mh2, ml2
         self.bp = bp
+        self.one_mont = one_mont
 
     # -- channel helpers ------------------------------------------------------
 
@@ -215,8 +218,7 @@ class KF:
 
 def make_kf() -> KF:
     kc = kconsts()
-    return KF(kc.m, kc.inv_m, kc.xi_mul, kc.zeta_mul, kc.p_r, kc.m1inv_r,
-              kc.neg_m1, kc.neg_m2, kc.mh1, kc.ml1, kc.mh2, kc.ml2, kc.bp)
+    return KF(*[getattr(kc, n) for n in _CONST_NAMES])
 
 
 # -----------------------------------------------------------------------------
@@ -268,7 +270,8 @@ def kf_point_double(F: KF, p):
 # pallas wrappers
 
 _CONST_NAMES = ("m", "inv_m", "xi_mul", "zeta_mul", "p_r", "m1inv_r",
-                "neg_m1", "neg_m2", "mh1", "ml1", "mh2", "ml2", "bp")
+                "neg_m1", "neg_m2", "mh1", "ml1", "mh2", "ml2", "bp",
+                "one_mont")
 
 
 def _const_arrays():
@@ -276,10 +279,11 @@ def _const_arrays():
     return [getattr(kc, n) for n in _CONST_NAMES]
 
 
-def _const_specs():
+def _const_specs(grid: bool = True):
     from jax.experimental import pallas as pl
     kc = kconsts()
-    return [pl.BlockSpec(getattr(kc, n).shape, lambda i: (0, 0))
+    imap = (lambda i: (0, 0)) if grid else (lambda: (0, 0))
+    return [pl.BlockSpec(getattr(kc, n).shape, imap)
             for n in _CONST_NAMES]
 
 
@@ -384,3 +388,87 @@ def mont_mul(a: rns.RElem, b: rns.RElem,
     out = _run_fused("mul", fn, [a.ch, b.ch], [a.bound, b.bound], 1,
                      interpret)
     return rns.RElem(out[0], 3)
+
+
+# -----------------------------------------------------------------------------
+# fixed-exponent power ladder (ONE kernel for the whole ~2*381-mul chain)
+#
+# Replaces the XLA lax.scan Fermat chains (fp.inv / sqrt): a scan of ~762
+# tiny mont_muls costs ~50+ dispatched ops per iteration; in-kernel the
+# whole ladder is a fori_loop over an SMEM bit vector (square + multiply +
+# select per bit), so an inversion is one kernel launch.
+
+_pow_cache = {}
+
+
+def pow_fixed(e: rns.RElem, exponent: int,
+              interpret: bool = False) -> rns.RElem:
+    """e^exponent (Montgomery domain), exponent static; output bound 3."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bits = [int(b) for b in bin(exponent)[2:]]
+    nbits = len(bits)
+    batch = e.ch.shape[:-1]
+    size = int(np.prod(batch)) if batch else 1
+    pad = (-size) % 8
+    x = e.ch.reshape(size, CH)
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, CH), x.dtype)])
+    rows = size + pad
+
+    key = (exponent, rows, e.bound, interpret)
+    if key not in _pow_cache:
+        bound = e.bound
+
+        def kernel(*refs):
+            consts = refs[:len(_CONST_NAMES)]
+            F = KF(*[c[:] for c in consts])
+            bits_ref = refs[len(_CONST_NAMES)]
+            x_ref = refs[len(_CONST_NAMES) + 1]
+            o_ref = refs[-1]
+            xv = (x_ref[:], bound)
+
+            def body(i, a):
+                sq = F.mont_mul((a, 3), (a, 3))[0]
+                withm = F.mont_mul((sq, 3), xv)[0]
+                bit = bits_ref[0, i]
+                return jnp.where(bit > 0, withm, sq)
+
+            # MSB bit is 1: acc = x, squashed to the loop's bound-3 contract
+            # (mont_mul by ONE preserves the Montgomery-domain value)
+            acc0 = F.mont_mul(
+                xv, (jnp.broadcast_to(F.one_mont, xv[0].shape), 1))[0]
+            out = jax.lax.fori_loop(1, nbits, body, acc0)
+            o_ref[:] = out
+
+        bits_arr = np.asarray(bits, np.int32).reshape(1, nbits)
+
+        def run(xf):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((rows, CH), jnp.float32),
+                in_specs=_const_specs(grid=False)
+                + [pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec((rows, CH), lambda: (0, 0))],
+                out_specs=pl.BlockSpec((rows, CH), lambda: (0, 0)),
+                interpret=interpret,
+            )(*_const_arrays(), bits_arr, xf)
+
+        _pow_cache[key] = jax.jit(run)
+
+    out = _pow_cache[key](x)
+    if pad:
+        out = out[:size]
+    return rns.RElem(out.reshape(batch + (CH,)), 3)
+
+
+def inv(e: rns.RElem, interpret: bool = False) -> rns.RElem:
+    """Fermat inverse e^(p-2) as one kernel; 0 -> 0."""
+    from ..utils.field_host import P
+    return pow_fixed(e, P - 2, interpret=interpret)
+
+
+def sqrt_candidate(e: rns.RElem, interpret: bool = False) -> rns.RElem:
+    from ..utils.field_host import P
+    return pow_fixed(e, (P + 1) // 4, interpret=interpret)

@@ -28,6 +28,25 @@ def test_fused_mont_mul_exact():
     assert got == [x * y % P for x, y in zip(xs, ys)]
 
 
+def test_pow_ladder_kernels_exact():
+    """Fixed-exponent pow kernels (RNS + limb-fr), small exponents so the
+    interpret-mode fori stays fast; the full Fermat ladders run on TPU
+    (scripts/test_rns_kernels.py)."""
+    from go_curdleproofs_tpu.ops import fr, limb_kernels
+
+    random.seed(43)
+    e = 0xB7E15162_8AED2A6B              # 64-bit, mixed bit pattern
+    xs = [random.randrange(1, P) for _ in range(5)] + [1, P - 1]
+    a = rns.from_ints(xs)
+    got = rns.to_ints(rns_kernels.pow_fixed(a, e, interpret=True))
+    assert got == [pow(x, e, P) for x in xs]
+
+    ys = [random.randrange(1, fh.R) for _ in range(4)] + [1, fh.R - 1]
+    b = fr.from_ints(ys)
+    got = fr.to_ints(limb_kernels.pow_fixed(b, e, fr.field, interpret=True))
+    assert got == [pow(y, e, fh.R) for y in ys]
+
+
 def test_fused_point_ops_match_oracle():
     from go_curdleproofs_tpu.ops import curve
 
