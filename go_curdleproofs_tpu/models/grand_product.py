@@ -70,10 +70,8 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
     for i in range(1, ell):
         cs[i] = cs[i - 1] * bs[i - 1] % fh.R
     r_cs = rand.get_frs(len(r_bs))
-    import os
-    from ..ops import field_backend
-    device_prover = (os.environ.get("CURDLE_DEVICE_PROVER", "0") == "1"
-                     and field_backend.BACKEND == "limb")
+    from .device_mode import device_prover_version
+    device_prover = device_prover_version() is not None
     width = len(crs.gs) + len(crs.hs)
     # ONE device-resident base row [Gs|Hs] (the IPA's concatenated bases,
     # lane i = Gs[i] for i < ell, Hs[i-ell] after); every MSM below and all

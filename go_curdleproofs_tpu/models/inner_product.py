@@ -111,12 +111,14 @@ def prove(crs: CRS, C: Affine, D: Affine, z: int,
     if n & (n - 1) != 0:
         raise ValueError("cs and ds are not a power of two")
 
-    import os
-    from ..ops import field_backend
-    if (os.environ.get("CURDLE_DEVICE_PROVER", "0") == "1"
-            and field_backend.BACKEND == "limb"):
-        # the device-resident recursion is still limb-based (its transcript
-        # compression needs limb digits); skipped under the RNS backend
+    from .device_mode import device_prover_version
+    dpv = device_prover_version()
+    if dpv == "v2":
+        from . import device_prover2
+        return device_prover2.prove_ipa_on_device(
+            crs.gs, crs.gs_prime, crs.h, C, D, z, cs, ds, transcript, rand,
+            stacked=crs.stacked)
+    if dpv == "v1":
         from . import device_prover
         return device_prover.prove_ipa_on_device(
             crs.gs, crs.gs_prime, crs.h, C, D, z, cs, ds, transcript, rand,
@@ -200,14 +202,17 @@ def verify(proof: Proof, crs: CRS, C: Affine, D: Affine, z: int,
         gamma.append(transcript.get_and_append_challenge(LABEL_GAMMA))
     gamma_inv = fh.fr_batch_inv(gamma)
 
-    # Step 3: fold scalars s[i] = prod gamma_j^{bit_j(i)}, s'[i] with inverses
-    s = [1] * n
-    s_prime = [1] * n
-    for i in range(n):
-        for j in range(m):
-            if i & (1 << j):
-                s[i] = s[i] * gamma[m - j - 1] % fh.R
-                s_prime[i] = s_prime[i] * gamma_inv[m - j - 1] % fh.R
+    # Step 3: fold scalars s[i] = prod gamma_j^{bit_j(i)}, s'[i] with
+    # inverses (innerproductargument.go:223-234). Built by doubling —
+    # s over [0, 2^k) extends to [0, 2^(k+1)) by multiplying the whole
+    # prefix with the next gamma: O(n) multiplies instead of O(n log n).
+    s = [1]
+    s_prime = [1]
+    for j in range(m):
+        g = gamma[m - j - 1]
+        gi = gamma_inv[m - j - 1]
+        s = s + [x * g % fh.R for x in s]
+        s_prime = s_prime + [x * gi % fh.R for x in s_prime]
 
     # the four L/R cross-term MSMs in one device call + one fetch
     msm_lc, msm_rc, msm_ld, msm_rd = curve.msm_batch([

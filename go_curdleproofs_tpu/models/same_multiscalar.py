@@ -68,11 +68,13 @@ def prove(G: List[Affine], A: Affine, Z_t: Affine, Z_u: Affine,
           T: List[Affine], U: List[Affine], x: List[int],
           transcript: Transcript, rand: Rand) -> Proof:
     """samemultiscalarargument.go:37-157."""
-    import os
-    from ..ops import field_backend
-    if (os.environ.get("CURDLE_DEVICE_PROVER", "0") == "1"
-            and field_backend.BACKEND == "limb"):
-        # limb-based device recursion; skipped under the RNS backend
+    from .device_mode import device_prover_version
+    dpv = device_prover_version()
+    if dpv == "v2":
+        from . import device_prover2
+        return device_prover2.prove_samemsm_on_device(
+            G, A, Z_t, Z_u, T, U, x, transcript, rand)
+    if dpv == "v1":
         from . import device_prover
         return device_prover.prove_samemsm_on_device(
             G, A, Z_t, Z_u, T, U, x, transcript, rand)
@@ -144,14 +146,13 @@ def unfolded_scalars(proof: Proof, n: int, transcript: Transcript):
                                  proof.r_u[i])
         challenges.append(transcript.get_and_append_challenge(LABEL_GAMMA))
 
-    ss = []
-    for i in range(n):
-        tmp = 1
-        for k in range(lg_n - 1, -1, -1):
-            if i & (1 << (lg_n - k - 1)):
-                tmp = tmp * challenges[k] % fh.R
-        ss.append(tmp)
-
+    # ss[i] = prod challenges[k]^{bit_(lg_n-k-1)}(i): built by doubling
+    # (O(n) multiplies; equivalent to the reference's per-index loop,
+    # samemultiscalarargument.go:267-277)
+    ss = [1]
+    for k in range(lg_n - 1, -1, -1):
+        g = challenges[k]
+        ss = ss + [x * g % fh.R for x in ss]
     return challenges, fh.fr_batch_inv(challenges), ss
 
 

@@ -271,15 +271,52 @@ def _table_select_windows(table: PointVec, digits: jnp.ndarray) -> PointVec:
     return PointVec(f(table.x), f(table.y), f(table.z))
 
 
+def _x16_add(acc: PointVec, w: PointVec) -> PointVec:
+    """acc = 16*acc + w: one fused kernel on the TPU rns path (the Horner
+    serial step), 4 doubles + 1 add elsewhere."""
+    if _rns_kernel():
+        from . import rns_kernels
+        return rns_kernels.point_x16_add(acc, w)
+    for _ in range(WINDOW_BITS):
+        acc = double(acc)
+    return add(acc, w)
+
+
+def _windowed_combine_kernel(sel: PointVec, win_axis: int) -> PointVec:
+    """TPU rns fast path: acc = 16*acc + sel_w over the window axis as ONE
+    streamed Pallas kernel (rns_kernels.windowed_combine)."""
+    from . import rns_kernels
+
+    batch = None
+
+    def prep(t):
+        nonlocal batch
+        m = jnp.moveaxis(t, win_axis, 0)        # win axis of the limb array
+        batch = m.shape[1:-1]
+        return m.reshape(NUM_WINDOWS, -1, t.shape[-1])
+
+    sx, sy, sz = prep(sel.x.limbs), prep(sel.y.limbs), prep(sel.z.limbs)
+    rows = sx.shape[1]
+    pad = (-rows) % 8
+    if pad:
+        z = jnp.zeros((NUM_WINDOWS, pad, sx.shape[-1]), sx.dtype)
+        sx, sy, sz = (jnp.concatenate([a, z], axis=1) for a in (sx, sy, sz))
+    out = rns_kernels.windowed_combine(
+        (sx, sy, sz), (sel.x.iv, sel.y.iv, sel.z.iv), NUM_WINDOWS)
+    f = lambda t: t[:rows].reshape(batch + (t.shape[-1],))
+    return pmap_coords(f, out)
+
+
 def _horner(windows: PointVec) -> PointVec:
     """Combine [..., 64] window sums MSB-first: acc = 16*acc + S_w."""
+    if _rns_kernel():
+        return _windowed_combine_kernel(windows, win_axis=-2)
+
     def body(i, acc):
-        for _ in range(WINDOW_BITS):
-            acc = double(acc)
         w = pmap_coords(lambda a, i=i: a[..., i, :], windows)
         w = PointVec(Fp(w.x.limbs, REDUCED), Fp(w.y.limbs, REDUCED),
                      Fp(w.z.limbs, REDUCED))
-        return add(acc, w)
+        return _x16_add(acc, w)
 
     acc0 = _settle(infinity(windows.x.limbs.shape[:-2]))
     return jax.lax.fori_loop(0, NUM_WINDOWS, body, acc0)
@@ -362,14 +399,15 @@ def msm_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
 def scalar_mul_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
     """Batched per-point scalar mult: out[i] = s_i * P_i, over [..., n]."""
     table = _build_table(points)
+    if _rns_kernel():
+        sel = _table_select_windows(table, digits)       # [..., 64, n]
+        return _windowed_combine_kernel(sel, win_axis=-3)
 
     def body(w, acc):
-        for _ in range(WINDOW_BITS):
-            acc = double(acc)
         sel = _table_select(table, digits[..., w])
         sel = PointVec(Fp(sel.x.limbs, REDUCED), Fp(sel.y.limbs, REDUCED),
                        Fp(sel.z.limbs, REDUCED))
-        return add(acc, sel)
+        return _x16_add(acc, sel)
 
     acc0 = _settle(infinity(points.batch_shape))
     return jax.lax.fori_loop(0, NUM_WINDOWS, body, acc0)
@@ -589,7 +627,8 @@ class StackedVec:
         # (k, n, bucket) only — row indices are a traced gather vector
         # (padding rows carry zero digits -> infinity window sums, dropped)
         t_real = len(terms_flat)
-        t_pad = _pad_pow2(t_real, minimum=1)
+        t_pad = next(b for b in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+                     if b >= t_real) if t_real <= 64 else _pad_pow2(t_real)
         digit_rows = np.zeros((t_pad,) + terms_flat[0][1].shape, np.int32)
         rows_idx = np.zeros(t_pad, np.int32)
         for t, (bi, d) in enumerate(terms_flat):

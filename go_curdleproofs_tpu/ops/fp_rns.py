@@ -16,6 +16,7 @@ Selected via ops/field_backend.py (CURDLE_FP=rns|limb|auto).
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence
 
 import jax
@@ -106,8 +107,30 @@ def carry_to(a: Element, target=REDUCED) -> Element:
     return Element(rns.squash(a).ch, t if t >= 3 else 3)
 
 
+_POW_KERNEL_MODE = os.environ.get("CURDLE_RNS_KERNEL", "auto")
+_pow_kernel_on = None
+
+
+def _pow_kernel() -> bool:
+    """Pow ladders as one Pallas kernel on TPU (vs a lax.scan of tiny
+    mont_muls, whose per-step op dispatch dominates)."""
+    global _pow_kernel_on
+    if _pow_kernel_on is None:
+        if _POW_KERNEL_MODE in ("0", "1"):
+            _pow_kernel_on = _POW_KERNEL_MODE == "1"
+        else:
+            _pow_kernel_on = jax.default_backend() == "tpu"
+    return _pow_kernel_on
+
+
 def pow_fixed(a: Element, exponent: int) -> Element:
-    """Square-and-multiply with mont_mul (device scan over exponent bits)."""
+    """Square-and-multiply with mont_mul; Pallas ladder kernel on TPU for
+    small batches, lax.scan elsewhere."""
+    if _pow_kernel():
+        size = int(np.prod(a.batch_shape)) if a.batch_shape else 1
+        if size <= 1024:
+            from . import rns_kernels
+            return rns_kernels.pow_fixed(a, exponent)
     bits_arr = jnp.asarray(
         np.array([int(bb) for bb in bin(exponent)[2:]], dtype=np.int32))
     # scan carry must be pytree-stable: bound 3 (squash if above)

@@ -279,10 +279,15 @@ def _const_arrays():
     return [getattr(kc, n) for n in _CONST_NAMES]
 
 
-def _const_specs(grid: bool = True):
+def _const_specs(grid: bool = True, ndims: int = 1):
     from jax.experimental import pallas as pl
     kc = kconsts()
-    imap = (lambda i: (0, 0)) if grid else (lambda: (0, 0))
+    if not grid:
+        imap = lambda: (0, 0)
+    elif ndims == 1:
+        imap = lambda i: (0, 0)
+    else:
+        imap = lambda i, j: (0, 0)
     return [pl.BlockSpec(getattr(kc, n).shape, imap)
             for n in _CONST_NAMES]
 
@@ -377,6 +382,105 @@ def point_double(p, interpret: bool = False):
     outs = _run_fused("dbl", fn, elems, bounds, 3, interpret)
     return PointVec(rns.RElem(outs[0], 6), rns.RElem(outs[1], 6),
                     rns.RElem(outs[2], 6))
+
+
+def point_x16_add(p, q, interpret: bool = False):
+    """acc' = 16*acc + sel in ONE kernel — the Horner window step of the
+    windowed scalar multiply (4 complete doublings + 1 complete add; 40
+    mont_muls fused). Collapses the chain's per-window launch count 5x."""
+    from .curve import PointVec
+    elems = [p.x.ch, p.y.ch, p.z.ch, q.x.ch, q.y.ch, q.z.ch]
+    bounds = [p.x.bound, p.y.bound, p.z.bound,
+              q.x.bound, q.y.bound, q.z.bound]
+
+    def fn(F, vals):
+        pt = vals[0:3]
+        for _ in range(4):
+            pt = kf_point_double(F, pt)
+        x, y, z = kf_point_add(F, pt, vals[3:6])
+        return [x, y, z]
+
+    outs = _run_fused("x16add", fn, elems, bounds, 3, interpret)
+    return PointVec(rns.RElem(outs[0], 6), rns.RElem(outs[1], 6),
+                    rns.RElem(outs[2], 6))
+
+
+_wc_cache = {}
+
+
+def windowed_combine(sel, bounds: tuple, n_windows: int,
+                     interpret: bool = False):
+    """Whole windowed scalar-mul/Horner combine as ONE kernel.
+
+    sel: 3 channel arrays [n_windows, rows, CH] (MSB window first: the
+    already-selected table entries per window). Computes
+
+        acc = sum_w 16^(n_windows-1-w) * sel[w]   (acc = 16*acc + sel[w])
+
+    with the per-window points streamed block-by-block from HBM by the
+    grid pipeline and the accumulator resident in VMEM scratch. Replaces
+    the 64-launch per-window chain (one pallas call each) whose ~0.1ms
+    fixed launch cost dominated the serial phases.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .curve import PointVec
+
+    rows = sel[0].shape[1]
+    assert rows % 8 == 0
+    chunk = min(rows, 256)
+    n_chunks = rows // chunk
+
+    key = (n_windows, rows, chunk, tuple(bounds), interpret)
+    if key not in _wc_cache:
+        def kernel(*refs):
+            consts = refs[:len(_CONST_NAMES)]
+            F = KF(*[c[:] for c in consts])
+            sx, sy, sz = refs[len(_CONST_NAMES):len(_CONST_NAMES) + 3]
+            ox, oy, oz = refs[len(_CONST_NAMES) + 3:len(_CONST_NAMES) + 6]
+            ax, ay, az = refs[len(_CONST_NAMES) + 6:]
+            w = pl.program_id(0)
+            c = pl.program_id(1)
+            sl = pl.ds(c * chunk, chunk)       # this chunk's accumulator rows
+
+            @pl.when(w == 0)
+            def _init():
+                ax[sl] = jnp.zeros((chunk, CH), jnp.float32)
+                ay[sl] = jnp.broadcast_to(F.one_mont, (chunk, CH))
+                az[sl] = jnp.zeros((chunk, CH), jnp.float32)
+
+            p = ((ax[sl], 6), (ay[sl], 6), (az[sl], 6))
+            for _ in range(4):
+                p = kf_point_double(F, p)
+            q = ((sx[:], bounds[0]), (sy[:], bounds[1]), (sz[:], bounds[2]))
+            x3, y3, z3 = kf_point_add(F, p, q)
+            ax[sl] = x3[0]
+            ay[sl] = y3[0]
+            az[sl] = z3[0]
+            ox[:] = x3[0]
+            oy[:] = y3[0]
+            oz[:] = z3[0]
+
+        def run(sx, sy, sz):
+            flat = lambda t: t.reshape(n_windows * rows, CH)
+            sel_spec = pl.BlockSpec(
+                (chunk, CH), lambda w, c: (w * n_chunks + c, 0))
+            out_spec = pl.BlockSpec((chunk, CH), lambda w, c: (c, 0))
+            return pl.pallas_call(
+                kernel,
+                out_shape=[jax.ShapeDtypeStruct((rows, CH),
+                                                jnp.float32)] * 3,
+                grid=(n_windows, n_chunks),
+                in_specs=_const_specs(ndims=2) + [sel_spec] * 3,
+                out_specs=[out_spec] * 3,
+                scratch_shapes=[pltpu.VMEM((rows, CH), jnp.float32)] * 3,
+                interpret=interpret,
+            )(*_const_arrays(), flat(sx), flat(sy), flat(sz))
+
+        _wc_cache[key] = jax.jit(run)
+
+    ox, oy, oz = _wc_cache[key](*sel)
+    return PointVec(rns.RElem(ox, 6), rns.RElem(oy, 6), rns.RElem(oz, 6))
 
 
 def mont_mul(a: rns.RElem, b: rns.RElem,
