@@ -76,12 +76,33 @@ def _mul6(avec, bvec):
 
 _RNS_KERNEL_MODE = os.environ.get("CURDLE_RNS_KERNEL", "auto")
 _rns_kernel_on = None
+_kernel_disable = 0
+
+
+class _xla_point_ops:
+    """Trace-time scope that forces pointwise add/double back to plain XLA
+    ops. The MSM wide phase (select + log-n tree reduce) is BETTER as XLA
+    graphs — the tree's shrinking small batches are latency-bound as
+    per-level Pallas launches, and every inlined Pallas instance re-lowers
+    the whole Mosaic kernel (the round-2 device-prover's minutes-long MLIR
+    blowup). The fused kernels stay on for the serial phases (Horner
+    windowed_combine, pow ladders) where they collapse dispatch chains."""
+
+    def __enter__(self):
+        global _kernel_disable
+        _kernel_disable += 1
+
+    def __exit__(self, *exc):
+        global _kernel_disable
+        _kernel_disable -= 1
 
 
 def _rns_kernel() -> bool:
     """Fused RNS Pallas point kernels: on for the rns backend on TPU
     (CURDLE_RNS_KERNEL=0/1 forces)."""
     global _rns_kernel_on
+    if _kernel_disable:
+        return False
     if _rns_kernel_on is None:
         if _RNS_KERNEL_MODE in ("0", "1"):
             _rns_kernel_on = _RNS_KERNEL_MODE == "1"
@@ -455,19 +476,15 @@ def msm(points: Sequence[Affine], scalars: Sequence[int],
 
     pad_to: optional fixed padding size — the folding arguments pass their
     initial n so every round reuses ONE compiled shape instead of compiling
-    log(n) shrinking shapes.
+    log(n) shrinking shapes. Routed through StackedVec.msm_many: ONE
+    device program (fused wide + Horner kernels on TPU) + one small fetch.
     """
     if len(points) != len(scalars):
         raise ValueError("msm: len(points) != len(scalars)")
     if not points:
         return None
-    n = _pad_pow2(max(len(points), pad_to))
-    pts = list(points) + [None] * (n - len(points))
-    sc = [int(s) % fh.R for s in scalars] + [0] * (n - len(scalars))
-    pv = from_affine_host(pts)
-    digits = jnp.asarray(scalars_to_digits(sc))
-    out = _compiled("msmw", msm_windows_device)(pv, digits)
-    return fh.g1_combine_windows(to_affine_host(out), WINDOW_BITS)
+    sv = StackedVec.from_affine([list(points)], pad_to=pad_to)
+    return sv.msm_many([[(0, [int(s) % fh.R for s in scalars], 0)]])[0]
 
 
 def _table_select_jobs(table: PointVec, digits: jnp.ndarray) -> PointVec:
@@ -569,6 +586,22 @@ def msm_rows_device(points: PointVec, digits: jnp.ndarray,
     return _horner(msm_rows_windows_device(points, digits, rows))
 
 
+def msm_rows_points_from_table(table: PointVec, digits: jnp.ndarray,
+                               rows) -> PointVec:
+    """Per-row MSM jobs straight to FINAL points, all on device.
+
+    table [16, k, n]; digits [m, n, 64]; rows [m] int32 (or static tuple).
+    The wide phase (select + points-axis tree reduce) runs as XLA graphs —
+    its shrinking batches fuse well and compile fast as plain ops; the
+    serial Horner tail runs as the streamed windowed_combine Pallas kernel
+    on TPU. Replaces the round-2 scheme that fetched m*64 window points for
+    a ~2.5ms/point host Horner (utils/field_host.g1_combine_windows): the
+    fetch shrinks to m points and the combine is one kernel launch."""
+    with _xla_point_ops():
+        wins = msm_rows_windows_from_table(table, digits, rows)
+    return _horner(wins)
+
+
 class StackedVec:
     """k device-resident base vectors [k, n] folded/queried together.
 
@@ -625,7 +658,7 @@ class StackedVec:
                 owners.append(j)
         # pad the term count to a bucket so the jit cache is keyed on
         # (k, n, bucket) only — row indices are a traced gather vector
-        # (padding rows carry zero digits -> infinity window sums, dropped)
+        # (padding rows carry zero digits -> infinity outputs, dropped)
         t_real = len(terms_flat)
         t_pad = next(b for b in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
                      if b >= t_real) if t_real <= 64 else _pad_pow2(t_real)
@@ -634,12 +667,22 @@ class StackedVec:
         for t, (bi, d) in enumerate(terms_flat):
             digit_rows[t] = d
             rows_idx[t] = bi
+        res = [None] * len(jobs)
+        if _rns_kernel():
+            # device Horner: fetch m final points instead of m*64 windows
+            out = _compiled(
+                f"msm_rows_pts_t{t_pad}x{self.k}x{self.width}",
+                msm_rows_points_from_table,
+            )(self.table(), jnp.asarray(digit_rows), jnp.asarray(rows_idx))
+            flat = to_affine_host(out)               # one tiny fetch
+            for t, j in enumerate(owners):
+                res[j] = fh.g1_add(res[j], flat[t])
+            return res
         out = _compiled(
             f"msm_rows_t{t_pad}x{self.k}x{self.width}",
             msm_rows_windows_from_table,
         )(self.table(), jnp.asarray(digit_rows), jnp.asarray(rows_idx))
         flat = to_affine_host(out)                   # one stacked fetch
-        res = [None] * len(jobs)
         for t, j in enumerate(owners):
             term = fh.g1_combine_windows(
                 flat[t * NUM_WINDOWS:(t + 1) * NUM_WINDOWS], WINDOW_BITS)

@@ -47,6 +47,49 @@ def test_pow_ladder_kernels_exact():
     assert got == [pow(y, e, fh.R) for y in ys]
 
 
+def test_msm_rows_points_matches_oracle():
+    """msm_rows_points_from_table (XLA wide phase + device Horner — the
+    TPU msm_many fast path's program) vs the host bignum oracle, including
+    zero digits (infinity), shared rows and job padding; the Horner tail
+    is also run through the windowed_combine Pallas kernel in interpret
+    mode on the same window sums."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from go_curdleproofs_tpu.ops import curve
+
+    random.seed(44)
+    k, n, m = 2, 16, 6
+    vecs = [[fh.g1_mul(fh.G1_GEN, random.randrange(1, fh.R))
+             for _ in range(n)] for _ in range(k)]
+    vecs[0][3] = None                       # infinity base point
+    sv = curve.StackedVec.from_affine(vecs, pad_to=n)
+    table = sv.table()
+
+    rows = [0, 1, 0, 1, 1, 0]
+    scal = [[random.randrange(fh.R) for _ in range(n)] for _ in range(m)]
+    scal[2] = [0] * n                       # all-zero job -> infinity
+    digits = jnp.asarray(np.stack([curve.scalars_to_digits(s)
+                                   for s in scal]))
+    rows_a = jnp.asarray(np.asarray(rows, np.int32))
+    want = [fh.g1_msm(vecs[r], s) for r, s in zip(rows, scal)]
+
+    out = curve.msm_rows_points_from_table(table, digits, rows_a)
+    assert curve.to_affine_host(out) == want
+
+    # the same window sums through the streamed Horner kernel (interpret)
+    wins = curve.msm_rows_windows_from_table(table, digits, rows_a)
+    pad = 8 - m
+    sel = [jnp.concatenate(
+        [jnp.moveaxis(t, -2, 0), jnp.zeros((64, pad, t.shape[-1]),
+                                           t.dtype)], axis=1)
+        for t in (wins.x.limbs, wins.y.limbs, wins.z.limbs)]
+    kout = rns_kernels.windowed_combine(
+        tuple(sel), (wins.x.iv, wins.y.iv, wins.z.iv), 64, interpret=True)
+    got = curve.to_affine_host(kout)[:m]
+    assert got == want
+
+
 def test_fused_point_ops_match_oracle():
     from go_curdleproofs_tpu.ops import curve
 
