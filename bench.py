@@ -106,6 +106,35 @@ def bench_msm(n=1024):
     emit("msm_points_per_s_chip", n / dt, "points/s")
 
 
+def bench_batch_verify(batch=8):
+    """Batched verification throughput (BASELINE config 5): `batch` distinct
+    Whisk shuffle proofs at the protocol size (ELL=124), ONE deferred MSM
+    for the whole batch (parallel/batch.py)."""
+    from go_curdleproofs_tpu.models import whisk
+    from go_curdleproofs_tpu.parallel import batch as pbatch
+    from go_curdleproofs_tpu.utils.rand import Rand
+
+    rand = Rand(0xBA7C4)
+    crs = whisk.curdleproof.generate_crs(whisk.ELL, rand)
+    instances = []
+    for i in range(batch):
+        r = Rand(100 + i)
+        pre = [whisk.WhiskTracker.from_points(r.get_g1(), r.get_g1())
+               for _ in range(whisk.ELL)]
+        post, proof_bytes = whisk.generate_whisk_shuffle_proof(crs, pre, r)
+        instances.append((pre, post, proof_bytes))
+
+    assert pbatch.verify_shuffle_proofs_batch(crs, instances, Rand(7))  # warm
+    reps = 3
+    t0 = time.time()
+    for i in range(reps):
+        assert pbatch.verify_shuffle_proofs_batch(crs, instances,
+                                                  Rand(8 + i))
+    dt = (time.time() - t0) / reps
+    emit(f"batch_verify_b{batch}_proofs_per_s", batch / dt, "proofs/s",
+         baseline=batch / (batch * BASELINES["verify"][124] / 1e3))
+
+
 def main():
     ell = int(os.environ.get("BENCH_ELL", "508"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -116,6 +145,7 @@ def main():
             if e != ell:
                 bench_size(e, reps=1)
         bench_msm()
+        bench_batch_verify()
 
     prove_ms, verify_ms = bench_size(ell, reps=reps, emit_lines=False)
 

@@ -182,10 +182,11 @@ def verify(proof: Proof, crs: CRS, Rs: List[Affine], Ss: List[Affine],
             transcript, msm_accumulator, rand):
         return False
 
-    # Step 3
+    # Step 3 (deferred into the accumulator; the reference checks eagerly)
     if not same_scalar.verify(
             proof.proof_same_scalar, same_scalar.CRS(crs.gt, crs.gu, crs.h),
-            proof.r, proof.s, proof.cm_t, proof.cm_u, transcript):
+            proof.r, proof.s, proof.cm_t, proof.cm_u, transcript,
+            msm_accumulator, rand):
         return False
 
     # Step 4

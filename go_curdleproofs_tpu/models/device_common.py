@@ -1,0 +1,127 @@
+"""Shared device-prover building blocks: Fr plumbing, device transcript
+absorption, masked vector helpers.
+
+Used by the device-resident prover (models/device_prover2.py): everything
+here stays on-device — Fr scalars as limb Elements, points as PointVecs,
+and the STROBE transcript as an ops/strobe_dev.py SState — so prover rounds
+chain as async device programs with no host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import compress_dev, fr, strobe_dev
+from ..ops import field_backend as fp
+from ..ops.curve import PointVec
+from ..utils import field_host as fh
+from ..utils.transcript import Transcript
+
+# transcript labels (must match the host modules byte-for-byte;
+# /root/reference/innerproductargument/innerproductargument.go:15-21,
+# samemultiscalarargument/samemultiscalarargument.go:15-20)
+LABEL_STEP1 = b"ipa_step1"
+LABEL_ALPHA = b"ipa_alpha"
+LABEL_BETA = b"ipa_beta"
+LABEL_LOOP = b"ipa_loop"
+LABEL_GAMMA = b"ipa_gamma"
+
+SM_LABEL_STEP1 = b"same_msm_step1"
+SM_LABEL_ALPHA = b"same_msm_alpha"
+SM_LABEL_LOOP = b"same_msm_loop"
+SM_LABEL_GAMMA = b"same_msm_gamma"
+
+
+def fr_const(vals: Sequence[int]) -> fr.Element:
+    return fr.from_ints([int(v) % fh.R for v in vals])
+
+
+def fr_scalar(v: int) -> fr.Element:
+    return fr.from_ints([int(v) % fh.R])
+
+
+def challenge_to_fr(chal_be: jnp.ndarray) -> fr.Element:
+    """32 big-endian challenge bytes -> canonical Fr element (33 limbs LE)."""
+    le = chal_be[::-1]
+    limbs = jnp.concatenate([le, jnp.zeros(1, jnp.int32)]).astype(fr.DTYPE)
+    return fr.Element(limbs.reshape(1, fr.NLIMBS), fr.CANONICAL)
+
+
+def fr_digits(x: fr.Element) -> jnp.ndarray:
+    """fr Element [..n] -> [..n, 64] MSM window digits (device)."""
+    return fr.digits_from_canonical(fr.canonical_digits(x))
+
+
+def fr_bytes_be(x: fr.Element) -> jnp.ndarray:
+    """fr Element [n] -> [n, 32] big-endian bytes (device)."""
+    d = fr.canonical_digits(x)
+    return d[..., :32][..., ::-1].astype(jnp.int32)
+
+
+def broadcast_scalar(a: fr.Element, n: int) -> fr.Element:
+    return fr.Element(jnp.broadcast_to(a.limbs, (n, fr.NLIMBS)), a.iv)
+
+
+def append_scalars_dev(state, label: bytes, x: fr.Element):
+    """Absorb each row of x as a 32-byte BE scalar (transcript.append_scalars)."""
+    rows = fr_bytes_be(x)
+    if rows.ndim == 1:
+        rows = rows[None]
+    k = rows.shape[0]
+    if k == 1:
+        return strobe_dev.append_message(state, label, rows[0])
+
+    def body(i, s):
+        return strobe_dev.append_message(s, label, rows[i])
+
+    return jax.lax.fori_loop(0, k, body, state)
+
+
+def append_points_dev(state, label: bytes, pv: PointVec):
+    """Compress points on device and absorb (transcript.append_points)."""
+    blobs = compress_dev.compress(pv)    # [k, 48]
+    if blobs.ndim == 1:
+        blobs = blobs[None]
+    k = blobs.shape[0]
+    if k == 1:
+        return strobe_dev.append_message(state, label, blobs[0])
+
+    def body(i, s):
+        return strobe_dev.append_message(s, label, blobs[i])
+
+    return jax.lax.fori_loop(0, k, body, state)
+
+
+def challenge_fr(state, label: bytes) -> Tuple[object, fr.Element]:
+    state, chal = strobe_dev.get_and_append_challenge(state, label)
+    return state, challenge_to_fr(chal)
+
+
+def transcript_to_device(t: Transcript):
+    return strobe_dev.from_host(t.inner.strobe)
+
+
+def _roll_fr(vec: fr.Element, shift) -> fr.Element:
+    return fr.Element(jnp.roll(vec.limbs, shift, axis=0), vec.iv)
+
+
+def _masked_inner(a: fr.Element, b: fr.Element, h) -> fr.Element:
+    """<a[0:h], b[0:h]> with traced h; returns a [1]-batch element."""
+    n = a.limbs.shape[0]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    am = fr.Element(jnp.where((lane < h)[:, None], a.limbs, 0), a.iv)
+    ip = fr.inner_product(am, b)
+    return fr.fmap(lambda t: t[None], ip)
+
+
+def _stack_points(pvs: List[PointVec]) -> PointVec:
+    def cat(get):
+        rows = [fp.fmap(lambda t: t if t.ndim > 1 else t[None], get(p))
+                for p in pvs]
+        return fp.concat(rows, axis=0)
+
+    return PointVec(cat(lambda p: p.x), cat(lambda p: p.y),
+                    cat(lambda p: p.z))

@@ -1,41 +1,49 @@
 """Device-resident prover selection.
 
-CURDLE_DEVICE_PROVER: "0"/"auto" (default) = host-orchestrated;
-"1" = force the device-resident prover on.
+CURDLE_DEVICE_PROVER:
+  "auto" (default) = device-resident prover on TPU with the rns backend;
+                     host-orchestrated everywhere else;
+  "1"              = force the device-resident prover on (rns backend only);
+  "0"              = force host-orchestrated.
+Any other value warns and is treated as "auto".
 
-v2 (models/device_prover2.py) is the RNS piece-dispatch prover; v1
-(models/device_prover.py) is the round-1 limb fori-merged prover, kept
-only for the limb backend (CURDLE_FP=limb CURDLE_DEVICE_PROVER=1).
-
-Default OFF even on TPU: v2's per-round piece programs currently spend
-minutes in MLIR lowering on the real chip (the msm_rows_device graph
-inlines the Pallas kernel + its constant tables once per window), which
-blows the first-prove latency budget; the host-orchestrated StackedVec
-path reuses a handful of compiled programs and wins end-to-end until
-v2's pieces are restructured around the streamed windowed_combine
-kernel.
+The device-resident prover (models/device_prover2.py) dispatches each
+folding round as a handful of small pre-compiled device programs; all
+carries (transcript state, folded scalars, folded bases) stay
+device-resident, and the MSM wide phases inside the pieces are plain XLA
+graphs (see ops/curve.py _build_table) so the pieces trace/lower in
+seconds. The limb backend (CURDLE_FP=limb) is the wire-format-native
+oracle used for CPU cross-checks and always runs host-orchestrated.
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 
 _MODE = os.environ.get("CURDLE_DEVICE_PROVER", "auto")
 _cached = "unset"
 
 
 def device_prover_version():
-    """None | 'v1' | 'v2' (resolved once per process)."""
+    """None | 'v2' (resolved once per process)."""
     global _cached
     if _cached != "unset":
         return _cached
+    import jax
+
     from ..ops import field_backend
-    if _MODE != "1":
+
+    mode = _MODE
+    if mode not in ("0", "1", "auto"):
+        warnings.warn(
+            f"CURDLE_DEVICE_PROVER={mode!r} is not one of 0/1/auto; "
+            "treating as auto")
+        mode = "auto"
+    if mode == "0" or field_backend.BACKEND != "rns":
         _cached = None
-    elif field_backend.BACKEND == "rns":
+    elif mode == "1":
         _cached = "v2"
-    elif field_backend.BACKEND == "limb":
-        _cached = "v1"
-    else:
-        _cached = None
+    else:  # auto: on for the shipped TPU configuration
+        _cached = "v2" if jax.default_backend() == "tpu" else None
     return _cached

@@ -1,32 +1,37 @@
-"""Device-resident folding provers v2: host-dispatched pre-compiled pieces.
+"""Device-resident folding provers: host-dispatched pre-compiled pieces with
+LAZY base folding.
 
-v1 (models/device_prover.py) merged each whole argument into ONE fori_loop
-program. That shape is wrong for XLA: compile time explodes superlinearly
-with graph size (a single merged round body exceeded 30 minutes on the
-v5e), and the merged executable ran ~10x slower than its parts. v2 keeps
-the same math and byte-exact transcript but restructures the orchestration
-the TPU-native way:
+Mirrors /root/reference/innerproductargument/innerproductargument.go:42-188
+and samemultiscalarargument/samemultiscalarargument.go:37-157 byte-for-byte
+(transcript, draw orders, proof bytes), restructured the TPU-native way:
 
-  * each round is 4 SMALL device programs (cross-MSMs, absorb+challenge,
-    gamma^-1 ladder, folds), each compiled once (shape-keyed by jax.jit)
-    and reused by every round of every argument in the process;
-  * all carries — STROBE transcript state, folded scalars, folded bases —
-    stay device-resident; the host loop only enqueues async dispatches, so
+  * the bases and their 16-entry multiples table live on device and are
+    built ONCE per argument. The reference (and the round-2 prover) fold
+    the bases physically every round (G' = G_lo + gamma*G_hi, a full
+    scalar-mul chain per round — the prover's single largest cost). Since
+    <v, G_r> = <lift(v), G_0>, every fold instead becomes O(n) device Fr
+    lane algebra: a per-lane gamma-weight vector W (W[i0] multiplies in
+    gamma_j for every fold bit set in i0) and the folded scalar vectors
+    kept in REPLICATED form (CS[i0] = cs_r[i0 mod n_r]). Zero per-round
+    point work besides the cross-term MSMs themselves.
+  * each round is 4 small device programs (cross-MSMs, absorb+challenge,
+    gamma^-1 ladder, Fr state update), each compiled once (half/bit-index
+    are traced scalars, so ONE executable serves all log(n) rounds) and
+    reused by every argument in the process;
+  * all carries — STROBE transcript state, weight/scalar vectors — stay
+    device-resident; the host loop only enqueues async dispatches, so
     rounds stream through the device queue with ZERO host round-trips;
-  * the serial sub-chains inside pieces are fused Pallas kernels: point
-    ops (ops/rns_kernels), the x16+add Horner step, and the Fermat
-    inversion ladders (rns_kernels.pow_fixed for point compression,
-    limb_kernels.pow_fixed for the Fr challenge inverse).
+  * the cross-term MSMs run as the two streamed Pallas kernels
+    (rns_kernels.msm_select_reduce wide phase + windowed_combine Horner).
 
 One fetch at the very end materializes the proof bytes + synced host
-transcript (mirrors /root/reference/innerproductargument/
-innerproductargument.go:42-188 and samemultiscalarargument.go:37-157).
+transcript.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import List, NamedTuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +44,7 @@ from ..utils import field_host as fh
 from ..utils import profiling
 from ..utils.field_host import Affine
 from ..utils.transcript import Transcript
-from .device_prover import (LABEL_ALPHA, LABEL_BETA, LABEL_GAMMA, LABEL_LOOP,
+from .device_common import (LABEL_ALPHA, LABEL_BETA, LABEL_GAMMA, LABEL_LOOP,
                             LABEL_STEP1, SM_LABEL_ALPHA, SM_LABEL_GAMMA,
                             SM_LABEL_LOOP, SM_LABEL_STEP1, _masked_inner,
                             _roll_fr, _stack_points, append_points_dev,
@@ -54,9 +59,46 @@ def _sync_host_transcript(transcript: Transcript, sstate) -> None:
                           jnp.asarray(sstate[2])), None, 0)
 
 
-def _mask_digits(vec: fr.Element, mask) -> jnp.ndarray:
-    limbs = jnp.where(mask[:, None], vec.limbs, 0)
-    return fr_digits(fr.Element(limbs, vec.iv))
+def _fr_mul_r(a: fr.Element, b: fr.Element) -> fr.Element:
+    return fr.carry_to(fr.mul(a, b), REDUCED)
+
+
+def _fold_bit(n: int, blog) -> jnp.ndarray:
+    """bit blog of each level-0 lane index — the fold's block selector."""
+    lane = jnp.arange(n, dtype=jnp.int32)
+    return jnp.right_shift(lane, blog) & 1
+
+
+def _lo_rep(v: fr.Element, bit, half) -> fr.Element:
+    """Replicated-low view: out[i0] = v_r[i0 mod half] (v replicated at
+    period 2*half -> out replicated at period half)."""
+    rolled = _roll_fr(v, half)
+    return fr.Element(jnp.where((bit == 1)[:, None], rolled.limbs, v.limbs),
+                      v.iv)
+
+
+def _hi_rep(v: fr.Element, bit, half) -> fr.Element:
+    """Replicated-high view: out[i0] = v_r[(i0 mod half) + half]."""
+    rolled = _roll_fr(v, -half)
+    return fr.Element(jnp.where((bit == 0)[:, None], rolled.limbs, v.limbs),
+                      v.iv)
+
+
+def _mask_fr(v: fr.Element, keep) -> fr.Element:
+    return fr.Element(jnp.where(keep[:, None], v.limbs, 0), v.iv)
+
+
+def _gamma_inv(gamma: fr.Element) -> fr.Element:
+    """gamma^-1 via the one-kernel Fermat ladder on TPU. Off-TPU (CPU
+    tests) a fetch is free, so invert on the host — gamma is CANONICAL
+    (fresh challenge), its limbs are exact digits."""
+    if jax.default_backend() == "tpu":
+        return limb_kernels.pow_fixed(gamma, fh.R - 2, fr.field)
+    g = fr.to_ints(np.asarray(gamma.limbs))[0]
+    return fr_scalar(pow(g, -1, fh.R) if g else 0)
+
+
+_compress = jax.jit(compress_dev.compress)
 
 
 # ---------------------------------------------------------------------------
@@ -64,30 +106,22 @@ def _mask_digits(vec: fr.Element, mask) -> jnp.ndarray:
 
 
 @jax.jit
-def _ipa_commit_blinders(bases, rs_c, rs_d):
-    """B_c = <rs_c, Gs>, B_d = <rs_d, Gs'> (innerproductargument.go:65-70)."""
-    dig = jnp.stack([fr_digits(rs_c), fr_digits(rs_d)])
-    return curve.msm_rows_device(bases, dig, (0, 1))
-
-
-@jax.jit
-def _ipa_absorb_step1(state, CD, z, bcd):
+def _ipa_setup(table, rows, Wg0, Wgp0, rs_c, rs_d, state, CD, z, cs, ds):
+    """Blinder commitments + step-1 absorb + alpha/beta + scalar blend —
+    one dispatch (innerproductargument.go:60-91)."""
+    n = cs.limbs.shape[0]
+    dig = jnp.stack([fr_digits(_fr_mul_r(Wg0, rs_c)),
+                     fr_digits(_fr_mul_r(Wgp0, rs_d))])
+    bcd = curve.msm_rows_points_from_table(table, dig, rows[:2])
     state = append_points_dev(state, LABEL_STEP1, CD)
     state = append_scalars_dev(state, LABEL_STEP1, z)
     state = append_points_dev(state, LABEL_STEP1, bcd)
     state, alpha = challenge_fr(state, LABEL_ALPHA)
     state, beta = challenge_fr(state, LABEL_BETA)
-    return state, alpha, beta
-
-
-@jax.jit
-def _ipa_blend(cs, ds, rs_c, rs_d, alpha):
-    n = cs.limbs.shape[0]
-    cs = fr.carry_to(fr.add(rs_c, fr.mul(broadcast_scalar(alpha, n), cs)),
-                     REDUCED)
-    ds = fr.carry_to(fr.add(rs_d, fr.mul(broadcast_scalar(alpha, n), ds)),
-                     REDUCED)
-    return cs, ds
+    al = broadcast_scalar(alpha, n)
+    cs = fr.carry_to(fr.add(rs_c, fr.mul(al, cs)), REDUCED)
+    ds = fr.carry_to(fr.add(rs_d, fr.mul(al, ds)), REDUCED)
+    return state, bcd, beta, cs, ds
 
 
 @jax.jit
@@ -99,28 +133,28 @@ def _smul_point(pt, scalar):
 
 
 @jax.jit
-def _ipa_round_cross(bases, hcur, cs, ds, half):
-    """The round's 4 cross-terms L_C, L_D, R_C, R_D (masked fixed-width
-    MSMs + the <c_L,d_R>/<c_R,d_L> H-terms), innerproductargument.go:100-147.
-    """
-    n = cs.limbs.shape[0]
-    lane = jnp.arange(n, dtype=jnp.int32)
-    in_lo = lane < half
-    in_hi = (lane >= half) & (lane < 2 * half)
-    cs_up = _roll_fr(cs, half)
-    ds_up = _roll_fr(ds, half)
-    cs_dn = _roll_fr(cs, -half)
-    ds_dn = _roll_fr(ds, -half)
+def _ipa_round_cross(table, rows, hcur, Wg, Wgp, CS, DS, half, blog):
+    """The round's 4 cross-terms L_C, L_D, R_C, R_D as lifted level-0 MSMs
+    against the FIXED table + the <c_L,d_R>/<c_R,d_L> H-terms
+    (innerproductargument.go:100-147)."""
+    n = CS.limbs.shape[0]
+    bit = _fold_bit(n, blog)
+    cl = _lo_rep(CS, bit, half)
+    cr = _hi_rep(CS, bit, half)
+    dl = _lo_rep(DS, bit, half)
+    dr = _hi_rep(DS, bit, half)
+    hi = bit == 1
+    lo = bit == 0
     dig = jnp.stack([
-        _mask_digits(cs_up, in_hi),     # L_C: <c_L, G_R>
-        _mask_digits(ds_dn, in_lo),     # L_D: <d_R, G'_L>
-        _mask_digits(cs_dn, in_lo),     # R_C: <c_R, G_L>
-        _mask_digits(ds_up, in_hi),     # R_D: <d_L, G'_R>
+        fr_digits(_mask_fr(_fr_mul_r(Wg, cl), hi)),     # L_C: <c_L, G_R>
+        fr_digits(_mask_fr(_fr_mul_r(Wgp, dr), lo)),    # L_D: <d_R, G'_L>
+        fr_digits(_mask_fr(_fr_mul_r(Wg, cr), lo)),     # R_C: <c_R, G_L>
+        fr_digits(_mask_fr(_fr_mul_r(Wgp, dl), hi)),    # R_D: <d_L, G'_R>
     ])
-    outs = curve.msm_rows_device(bases, dig, (0, 1, 0, 1))     # [4]
+    outs = curve.msm_rows_points_from_table(table, dig, rows)       # [4]
 
-    ipa_cl_dr = _masked_inner(cs, ds_dn, half)
-    ipa_cr_dl = _masked_inner(ds, cs_dn, half)
+    ipa_cl_dr = _masked_inner(cl, dr, half)
+    ipa_cr_dl = _masked_inner(cr, dl, half)
     h2 = _stack_points([hcur, hcur])
     h_terms = curve.scalar_mul_device(
         h2, jnp.stack([fr_digits(ipa_cl_dr)[0], fr_digits(ipa_cr_dl)[0]]))
@@ -134,7 +168,7 @@ def _ipa_round_cross(bases, hcur, cs, ds, half):
         curve.pmap_coords(lambda t: t[1], outs),
         curve.pmap_coords(lambda t: t[0], r_c),
         curve.pmap_coords(lambda t: t[3], outs)])
-    return lr                                                   # [4] points
+    return lr                                                       # [4]
 
 
 @partial(jax.jit, static_argnames=("label", "chal_label"))
@@ -151,34 +185,30 @@ def _round_absorb(state, lr_pts, label=LABEL_LOOP, chal_label=LABEL_GAMMA):
     return state, blobs, challenge_to_fr(gamma_be)
 
 
-def _gamma_inv(gamma: fr.Element) -> fr.Element:
-    """gamma^-1 via the one-kernel Fermat ladder on TPU. Off-TPU (CPU
-    tests) a fetch is free, so invert on the host — gamma is CANONICAL
-    (fresh challenge), its limbs are exact digits."""
-    if jax.default_backend() == "tpu":
-        return limb_kernels.pow_fixed(gamma, fh.R - 2, fr.field)
-    g = fr.to_ints(np.asarray(gamma.limbs))[0]
-    return fr_scalar(pow(g, -1, fh.R) if g else 0)
-
-
 @jax.jit
-def _ipa_round_fold(bases, cs, ds, gamma, gamma_inv, half):
-    n = cs.limbs.shape[0]
-    lane = jnp.arange(n, dtype=jnp.int32)
-    cs_dn = _roll_fr(cs, -half)
-    ds_dn = _roll_fr(ds, -half)
-    cs_new = fr.carry_to(
-        fr.add(cs, fr.mul(broadcast_scalar(gamma_inv, n), cs_dn)), REDUCED)
-    ds_new = fr.carry_to(
-        fr.add(ds, fr.mul(broadcast_scalar(gamma, n), ds_dn)), REDUCED)
-    zm = (lane < half)[:, None]
-    cs_new = fr.Element(jnp.where(zm, cs_new.limbs, 0), REDUCED)
-    ds_new = fr.Element(jnp.where(zm, ds_new.limbs, 0), REDUCED)
-    fold_digits = jnp.stack([
-        jnp.broadcast_to(fr_digits(gamma), (n, 64)),
-        jnp.broadcast_to(fr_digits(gamma_inv), (n, 64))])
-    bases_new = curve.fold_device(bases, fold_digits, half)
-    return bases_new, cs_new, ds_new
+def _ipa_round_update(Wg, Wgp, CS, DS, gamma, ginv, half, blog):
+    """Lazy fold: weight vectors absorb gamma on the high-bit lanes; the
+    replicated scalar vectors fold in place. Pure Fr lane algebra — the
+    round-2 prover's per-round device point-fold (a full 256-bit
+    scalar-mul chain over every base lane) is gone entirely."""
+    n = CS.limbs.shape[0]
+    bit = _fold_bit(n, blog)
+    g_n = broadcast_scalar(gamma, n)
+    gi_n = broadcast_scalar(ginv, n)
+    one = fr.Element(jnp.zeros((n, fr.NLIMBS), fr.DTYPE)
+                     .at[:, 0].set(1), fr.CANONICAL)
+    sel = (bit == 1)[:, None]
+    g_or_1 = fr.Element(jnp.where(sel, g_n.limbs, one.limbs), REDUCED)
+    gi_or_1 = fr.Element(jnp.where(sel, gi_n.limbs, one.limbs), REDUCED)
+    Wg = _fr_mul_r(Wg, g_or_1)
+    Wgp = _fr_mul_r(Wgp, gi_or_1)
+    cl = _lo_rep(CS, bit, half)
+    cr = _hi_rep(CS, bit, half)
+    dl = _lo_rep(DS, bit, half)
+    dr = _hi_rep(DS, bit, half)
+    CS = fr.carry_to(fr.add(cl, fr.mul(gi_n, cr)), REDUCED)
+    DS = fr.carry_to(fr.add(dl, fr.mul(g_n, dr)), REDUCED)
+    return Wg, Wgp, CS, DS
 
 
 @jax.jit
@@ -187,16 +217,19 @@ def _final_scalars(cs, ds):
             fr.canonical_digits(fr.fmap(lambda t: t[:1], ds)))
 
 
-_compress = jax.jit(compress_dev.compress)
-
-
 def prove_ipa_on_device(crs_gs: List[Affine], crs_gs_prime: List[Affine],
                         crs_h: Affine, C: Affine, D: Affine, z: int,
                         cs: List[int], ds: List[int],
                         transcript: Transcript, rand,
-                        stacked=None) -> "inner_product.Proof":
+                        stacked=None, diag: Optional[List[int]] = None
+                        ) -> "inner_product.Proof":
     """Drop-in replacement for inner_product.prove: byte-identical proof,
-    whole recursion on device, ONE final fetch."""
+    whole recursion on device, ONE final fetch.
+
+    stacked: device StackedVec holding the bases. With `diag` (the
+    grand-product rescale, grandproductargument.go:94-103) it is the ONE
+    row [Gs|Hs] and Gs' is lazy: row G' = diag * row G, folded into the
+    scalar weights. Without diag it holds physical rows [Gs, Gs']."""
     from . import inner_product
     from ..utils import codec
 
@@ -205,36 +238,45 @@ def prove_ipa_on_device(crs_gs: List[Affine], crs_gs_prime: List[Affine],
     rs_c, rs_d = inner_product.generate_ipa_blinders(rand, cs, ds)
 
     with profiling.span("dp2.ipa.setup"):
-        if stacked is not None:
-            bases = stacked.pv
+        if stacked is None:
+            stacked = curve.StackedVec.from_affine([crs_gs, crs_gs_prime],
+                                                   pad_to=n)
+        table = stacked.table()
+        if diag is not None:
+            rows = jnp.zeros(4, jnp.int32)              # all on row 0
+            Wg0 = fr_const([1] * n)
+            Wgp0 = fr_const([int(d) % fh.R for d in diag[:n]]
+                            + [0] * (n - min(n, len(diag))))
         else:
-            bases = curve.StackedVec.from_affine([crs_gs, crs_gs_prime],
-                                                 pad_to=n).pv
-        bases = curve._settle(bases)
+            rows = jnp.asarray(np.array([0, 1, 0, 1], np.int32))
+            Wg0 = fr_const([1] * n)
+            Wgp0 = fr_const([1] * n)
         state = transcript_to_device(transcript)
 
         csd = fr_const(cs)
         dsd = fr_const(ds)
         rcd = fr_const(rs_c)
         rdd = fr_const(rs_d)
-
-        bcd = _ipa_commit_blinders(bases, rcd, rdd)
         CD = curve._settle(curve.from_affine_host([C, D]))
-        state, alpha, beta = _ipa_absorb_step1(state, CD, fr_scalar(z), bcd)
-        csd, dsd = _ipa_blend(csd, dsd, rcd, rdd, alpha)
+        state, bcd, beta, csd, dsd = _ipa_setup(
+            table, rows, Wg0, Wgp0, rcd, rdd, state, CD, fr_scalar(z),
+            csd, dsd)
         hcur = _smul_point(curve._settle(curve.from_affine_host([crs_h])),
                            beta)
 
     with profiling.span("dp2.ipa.rounds"):
+        Wg, Wgp = Wg0, Wgp0
         lr_blobs = []
         for r in range(rounds):
             half = jnp.int32(n >> (r + 1))
-            lr_pts = _ipa_round_cross(bases, hcur, csd, dsd, half)
+            blog = jnp.int32(n.bit_length() - 2 - r)
+            lr_pts = _ipa_round_cross(table, rows, hcur, Wg, Wgp, csd, dsd,
+                                      half, blog)
             state, blobs, gamma = _round_absorb(state, lr_pts)
             lr_blobs.append(blobs)
             ginv = _gamma_inv(gamma)
-            bases, csd, dsd = _ipa_round_fold(bases, csd, dsd, gamma, ginv,
-                                              half)
+            Wg, Wgp, csd, dsd = _ipa_round_update(Wg, Wgp, csd, dsd,
+                                                  gamma, ginv, half, blog)
 
     with profiling.span("dp2.ipa.fetch"):
         b_cd = _compress(bcd)
@@ -264,14 +306,14 @@ def prove_ipa_on_device(crs_gs: List[Affine], crs_gs_prime: List[Affine],
 
 
 @jax.jit
-def _sm_commit_blinders(bases, r):
+def _sm_setup(table, r, state, azz, tu_bytes, x):
+    """Blinder commitments + step-1 absorb + alpha + scalar blend — one
+    dispatch (samemultiscalarargument.go:63-83)."""
+    n = x.limbs.shape[0]
     rdig = fr_digits(r)
     dig = jnp.stack([rdig, rdig, rdig])
-    return curve.msm_rows_device(bases, dig, (0, 1, 2))
-
-
-@jax.jit
-def _sm_absorb_step1(state, azz, tu_bytes, b_atu):
+    b_atu = curve.msm_rows_points_from_table(
+        table, dig, jnp.asarray(np.arange(3, dtype=np.int32)))
     state = append_points_dev(state, SM_LABEL_STEP1, azz)
 
     def absorb_tu(i, s):
@@ -280,40 +322,39 @@ def _sm_absorb_step1(state, azz, tu_bytes, b_atu):
     state = jax.lax.fori_loop(0, tu_bytes.shape[0], absorb_tu, state)
     state = append_points_dev(state, SM_LABEL_STEP1, b_atu)
     state, alpha = challenge_fr(state, SM_LABEL_ALPHA)
-    return state, alpha
+    x = fr.carry_to(fr.add(r, fr.mul(broadcast_scalar(alpha, n), x)),
+                    REDUCED)
+    return state, b_atu, x
 
 
 @jax.jit
-def _sm_blend(x, r, alpha):
-    n = x.limbs.shape[0]
-    return fr.carry_to(fr.add(r, fr.mul(broadcast_scalar(alpha, n), x)),
-                       REDUCED)
-
-
-@jax.jit
-def _sm_round_cross(bases, x, half):
-    n = x.limbs.shape[0]
-    lane = jnp.arange(n, dtype=jnp.int32)
-    in_lo = lane < half
-    in_hi = (lane >= half) & (lane < 2 * half)
-    dl = _mask_digits(_roll_fr(x, half), in_hi)     # x_L on high lanes
-    dr = _mask_digits(_roll_fr(x, -half), in_lo)    # x_R on low lanes
+def _sm_round_cross(table, W, X, half, blog):
+    n = X.limbs.shape[0]
+    bit = _fold_bit(n, blog)
+    xl = _lo_rep(X, bit, half)
+    xr = _hi_rep(X, bit, half)
+    dl = fr_digits(_mask_fr(_fr_mul_r(W, xl), bit == 1))   # x_L on hi lanes
+    dr = fr_digits(_mask_fr(_fr_mul_r(W, xr), bit == 0))   # x_R on lo lanes
     dig = jnp.stack([dl, dl, dl, dr, dr, dr])
-    return curve.msm_rows_device(bases, dig, (0, 1, 2, 0, 1, 2))   # [6]
+    rows = jnp.asarray(np.array([0, 1, 2, 0, 1, 2], np.int32))
+    return curve.msm_rows_points_from_table(table, dig, rows)      # [6]
 
 
 @jax.jit
-def _sm_round_fold(bases, x, gamma, gamma_inv, half):
-    n = x.limbs.shape[0]
-    lane = jnp.arange(n, dtype=jnp.int32)
-    x_dn = _roll_fr(x, -half)
-    x_new = fr.carry_to(
-        fr.add(x, fr.mul(broadcast_scalar(gamma_inv, n), x_dn)), REDUCED)
-    x_new = fr.Element(jnp.where((lane < half)[:, None], x_new.limbs, 0),
-                       REDUCED)
-    fold_digits = jnp.broadcast_to(fr_digits(gamma), (3, n, 64))
-    bases_new = curve.fold_device(bases, fold_digits, half)
-    return bases_new, x_new
+def _sm_round_update(W, X, gamma, ginv, half, blog):
+    n = X.limbs.shape[0]
+    bit = _fold_bit(n, blog)
+    one = fr.Element(jnp.zeros((n, fr.NLIMBS), fr.DTYPE)
+                     .at[:, 0].set(1), fr.CANONICAL)
+    sel = (bit == 1)[:, None]
+    g_or_1 = fr.Element(
+        jnp.where(sel, broadcast_scalar(gamma, n).limbs, one.limbs), REDUCED)
+    W = _fr_mul_r(W, g_or_1)
+    xl = _lo_rep(X, bit, half)
+    xr = _hi_rep(X, bit, half)
+    X = fr.carry_to(fr.add(xl, fr.mul(broadcast_scalar(ginv, n), xr)),
+                    REDUCED)
+    return W, X
 
 
 @jax.jit
@@ -333,8 +374,8 @@ def prove_samemsm_on_device(G: List[Affine], A: Affine, Z_t: Affine,
     rounds = n.bit_length() - 1
     r = rand.get_frs(n)
     with profiling.span("dp2.sm.setup"):
-        bases = curve._settle(curve.StackedVec.from_affine([G, T, U],
-                                                           pad_to=n).pv)
+        sv = curve.StackedVec.from_affine([G, T, U], pad_to=n)
+        table = sv.table()
         azz = curve._settle(curve.from_affine_host([A, Z_t, Z_u]))
         tu_bytes = np.stack(
             [np.frombuffer(codec.g1_to_bytes(p), np.uint8).astype(np.int32)
@@ -343,22 +384,22 @@ def prove_samemsm_on_device(G: List[Affine], A: Affine, Z_t: Affine,
 
         xd = fr_const(x)
         rd = fr_const(r)
-        b_atu = _sm_commit_blinders(bases, rd)
-        state, alpha = _sm_absorb_step1(state, azz, jnp.asarray(tu_bytes),
-                                        b_atu)
-        xd = _sm_blend(xd, rd, alpha)
+        state, b_atu, xd = _sm_setup(table, rd, state, azz,
+                                     jnp.asarray(tu_bytes), xd)
+        W = fr_const([1] * n)
 
     with profiling.span("dp2.sm.rounds"):
         lr_blobs = []
         for rd_i in range(rounds):
             half = jnp.int32(n >> (rd_i + 1))
-            lr_pts = _sm_round_cross(bases, xd, half)
+            blog = jnp.int32(n.bit_length() - 2 - rd_i)
+            lr_pts = _sm_round_cross(table, W, xd, half, blog)
             state, blobs, gamma = _round_absorb(
                 state, lr_pts, label=SM_LABEL_LOOP,
                 chal_label=SM_LABEL_GAMMA)
             lr_blobs.append(blobs)
             ginv = _gamma_inv(gamma)
-            bases, xd = _sm_round_fold(bases, xd, gamma, ginv, half)
+            W, xd = _sm_round_update(W, xd, gamma, ginv, half, blog)
 
     with profiling.span("dp2.sm.fetch"):
         b_blobs = _compress(b_atu)

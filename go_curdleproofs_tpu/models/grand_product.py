@@ -144,11 +144,9 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
         raise ValueError("msm(G', d) != D")
 
     if device_prover:
-        # the on-device IPA recursion needs physical [Gs|Hs, Gs'|Hs'] rows
-        gprime_sv = curve.StackedVec(
-            ghsv.pv, ell + len(crs.hs)).scaled_rows([diag])
-        merged = curve.StackedVec(_stack_pvs(ghsv.pv, gprime_sv.pv),
-                                  ell + len(crs.hs))
+        # the on-device IPA uses the SAME one-row bases + table; Gs'|Hs' is
+        # lazy (row G' = diag * row G, folded into the scalar weights)
+        merged = curve.StackedVec(ghsv.pv, ell + len(crs.hs))
     else:
         # lazy 2-row view of the SAME device bases:
         # row 0 = [Gs|Hs], row 1 = [Gs'|Hs'] = diag * [Gs|Hs]
@@ -158,18 +156,10 @@ def prove(crs: CRS, B: Affine, result: int, bs: List[int], r_bs: List[int],
     gs_full = list(crs.gs) + list(crs.hs)
     gs_prime_full: list = []  # device-resident; affine copies not needed
     ipa_crs = inner_product.CRS(gs_full, gs_prime_full, crs.h,
-                                stacked=merged)
+                                stacked=merged, diag=diag)
     ipa_proof = inner_product.prove(ipa_crs, C, D, z, cs_full, ds_full,
                                     transcript, rand)
     return Proof(C, r_p, ipa_proof)
-
-
-def _stack_pvs(a, b):
-    """Concatenate two [k, n] PointVecs along the row axis (backend-agnostic)."""
-    from ..ops import field_backend as _fp
-
-    cat = lambda x, y: _fp.concat([x, y], axis=0)
-    return curve.PointVec(cat(a.x, b.x), cat(a.y, b.y), cat(a.z, b.z))
 
 
 def verify(proof: Proof, crs: CRS, gsum: Affine, hsum: Affine, B: Affine,
@@ -199,6 +189,9 @@ def verify(proof: Proof, crs: CRS, gsum: Affine, hsum: Affine, B: Affine,
         acc = acc * beta_inv % fh.R
     us.extend([acc] * num_blinders)
 
+    # D = B - beta^-1*Gsum + alpha*Hsum (grandproductargument.go:243-246);
+    # D is absorbed into the IPA transcript so it must be materialized —
+    # these are 2 of the only 3 host scalar-mults left in a verification
     D = fh.g1_sub(B, fh.g1_mul(gsum, beta_inv))
     D = fh.g1_add(D, fh.g1_mul(hsum, alpha))
 

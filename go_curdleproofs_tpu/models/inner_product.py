@@ -36,9 +36,12 @@ class CRS:
     gs: List[Affine]
     gs_prime: List[Affine]
     h: Affine
-    # optional device-resident [Gs, Gs'] (the grand-product prover hands its
-    # rescaled bases over without a host round-trip)
+    # optional device-resident bases (the grand-product prover hands its
+    # bases over without a host round-trip); with `diag` set, Gs' is lazy:
+    # Gs'[i] = diag[i] * Gs[i] (grandproductargument.go:94-103) and
+    # `stacked` holds only the one [Gs|Hs] row
     stacked: "curve.StackedVec" = None
+    diag: List[int] = None
 
 
 @dataclass
@@ -115,14 +118,12 @@ def prove(crs: CRS, C: Affine, D: Affine, z: int,
     dpv = device_prover_version()
     if dpv == "v2":
         from . import device_prover2
+        stacked = crs.stacked
+        if stacked is not None and isinstance(stacked, curve.FoldedBases):
+            stacked = stacked.sv
         return device_prover2.prove_ipa_on_device(
             crs.gs, crs.gs_prime, crs.h, C, D, z, cs, ds, transcript, rand,
-            stacked=crs.stacked)
-    if dpv == "v1":
-        from . import device_prover
-        return device_prover.prove_ipa_on_device(
-            crs.gs, crs.gs_prime, crs.h, C, D, z, cs, ds, transcript, rand,
-            stacked=crs.stacked)
+            stacked=stacked, diag=crs.diag)
 
     # Step 1
     rs_c, rs_d = generate_ipa_blinders(rand, cs, ds)
@@ -177,11 +178,16 @@ def prove(crs: CRS, C: Affine, D: Affine, z: int,
     return Proof(b_c, b_d, l_cs, r_cs, l_ds, r_ds, cs[0], ds[0])
 
 
-def verify(proof: Proof, crs: CRS, C: Affine, D: Affine, z: int,
+def verify(proof: Proof, crs: CRS, C, D, z: int,
            us: List[int], transcript: Transcript,
            msm_accumulator: MsmAccumulator, rand: Rand) -> bool:
     """innerproductargument.go:190-297 (all checks deferred to the
-    accumulator)."""
+    accumulator).
+
+    C and D may be points OR [(point, coeff)] linear combinations; both
+    checks fold into the accumulator as pure linear combinations — zero
+    host group ops and zero device calls here (the reference instead runs
+    four small MultiExps + scalar-mults eagerly, :237-294)."""
     # Step 1
     transcript.append_points(LABEL_STEP1, C, D)
     transcript.append_scalars(LABEL_STEP1, z)
@@ -214,18 +220,16 @@ def verify(proof: Proof, crs: CRS, C: Affine, D: Affine, z: int,
         s = s + [x * g % fh.R for x in s]
         s_prime = s_prime + [x * gi % fh.R for x in s_prime]
 
-    # the four L/R cross-term MSMs in one device call + one fetch
-    msm_lc, msm_rc, msm_ld, msm_rd = curve.msm_batch([
-        (proof.l_cs, gamma), (proof.r_cs, gamma_inv),
-        (proof.l_ds, gamma), (proof.r_ds, gamma_inv)])
-
-    # Accumulate check 1
-    ac1 = fh.g1_add(msm_lc, proof.b_c)
-    ac1 = fh.g1_add(ac1, fh.g1_mul(C, alpha))
-    alpha2z = alpha * alpha % fh.R * z % fh.R
-    beta_h = fh.g1_mul(crs.h, beta)
-    ac1 = fh.g1_add(ac1, fh.g1_mul(beta_h, alpha2z))
-    ac1 = fh.g1_add(ac1, msm_rc)
+    # Accumulate check 1: B_c + alpha*C + (alpha^2*z*beta)*H
+    #                     + <gamma, L_Cs> + <gamma^-1, R_Cs>
+    #                  == <s*c0, Gs> + (beta*d0*c0)*H
+    # — the L/R cross-term MSMs and the commitment side all enter the final
+    # MSM as linear-combination terms (no eager MultiExp, no scalar-mults).
+    from .msm_accumulator import as_terms
+    alpha2zb = alpha * alpha % fh.R * z % fh.R * beta % fh.R
+    ac1 = ([(proof.b_c, 1), (crs.h, alpha2zb)] + as_terms(C, alpha)
+           + list(zip(proof.l_cs, gamma))
+           + list(zip(proof.r_cs, gamma_inv)))
 
     g_plus_h = list(crs.gs) + [crs.h]
     scalars = [si * proof.c0 % fh.R for si in s]
@@ -233,9 +237,9 @@ def verify(proof: Proof, crs: CRS, C: Affine, D: Affine, z: int,
     msm_accumulator.accumulate_check(ac1, scalars, g_plus_h, rand)
 
     # Accumulate check 2
-    ac2 = fh.g1_add(msm_ld, proof.b_d)
-    ac2 = fh.g1_add(ac2, fh.g1_mul(D, alpha))
-    ac2 = fh.g1_add(ac2, msm_rd)
+    ac2 = ([(proof.b_d, 1)] + as_terms(D, alpha)
+           + list(zip(proof.l_ds, gamma))
+           + list(zip(proof.r_ds, gamma_inv)))
     scalars2 = [sp * ui % fh.R * proof.d0 % fh.R
                 for sp, ui in zip(s_prime, us)]
     msm_accumulator.accumulate_check(ac2, scalars2, list(crs.gs), rand)

@@ -74,10 +74,6 @@ def prove(G: List[Affine], A: Affine, Z_t: Affine, Z_u: Affine,
         from . import device_prover2
         return device_prover2.prove_samemsm_on_device(
             G, A, Z_t, Z_u, T, U, x, transcript, rand)
-    if dpv == "v1":
-        from . import device_prover
-        return device_prover.prove_samemsm_on_device(
-            G, A, Z_t, Z_u, T, U, x, transcript, rand)
 
     n = len(x)
 
@@ -160,7 +156,11 @@ def verify(proof: Proof, G: List[Affine], A: Affine, Z_t: Affine,
            Z_u: Affine, T: List[Affine], U: List[Affine],
            transcript: Transcript, msm_accumulator: MsmAccumulator,
            rand: Rand) -> bool:
-    """samemultiscalarargument.go:159-235 (three deferred checks)."""
+    """samemultiscalarargument.go:159-235 (three deferred checks).
+
+    The six L/R cross-term MSMs and the alpha-blends all fold into the
+    accumulator as linear-combination terms — the reference instead runs
+    six eager MultiExps + three scalar-mults (:175-185)."""
     n = len(T)
 
     transcript.append_points(LABEL_STEP1, A, Z_t, Z_u)
@@ -172,22 +172,14 @@ def verify(proof: Proof, G: List[Affine], A: Affine, Z_t: Affine,
     gamma, gamma_inv, s = unfolded_scalars(proof, n, transcript)
     xtimess = [proof.x * si % fh.R for si in s]
 
-    a_a = fh.g1_add(proof.b_a, fh.g1_mul(A, alpha))
-    z_t_a = fh.g1_add(proof.b_t, fh.g1_mul(Z_t, alpha))
-    z_u_a = fh.g1_add(proof.b_u, fh.g1_mul(Z_u, alpha))
-
-    # all six L/R cross-term MSMs in one device call + one fetch
-    la, ra, lt, rt, lu, ru = curve.msm_batch([
-        (proof.l_a, gamma), (proof.r_a, gamma_inv),
-        (proof.l_t, gamma), (proof.r_t, gamma_inv),
-        (proof.l_u, gamma), (proof.r_u, gamma_inv)])
-
-    p = fh.g1_add(a_a, fh.g1_add(la, ra))
-    msm_accumulator.accumulate_check(p, xtimess, G, rand)
-
-    p = fh.g1_add(z_t_a, fh.g1_add(lt, rt))
-    msm_accumulator.accumulate_check(p, xtimess, T, rand)
-
-    p = fh.g1_add(z_u_a, fh.g1_add(lu, ru))
-    msm_accumulator.accumulate_check(p, xtimess, U, rand)
+    lr = lambda ls, rs: list(zip(ls, gamma)) + list(zip(rs, gamma_inv))
+    msm_accumulator.accumulate_check(
+        [(proof.b_a, 1), (A, alpha)] + lr(proof.l_a, proof.r_a),
+        xtimess, G, rand)
+    msm_accumulator.accumulate_check(
+        [(proof.b_t, 1), (Z_t, alpha)] + lr(proof.l_t, proof.r_t),
+        xtimess, T, rand)
+    msm_accumulator.accumulate_check(
+        [(proof.b_u, 1), (Z_u, alpha)] + lr(proof.l_u, proof.r_u),
+        xtimess, U, rand)
     return True

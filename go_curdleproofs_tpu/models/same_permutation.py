@@ -101,8 +101,9 @@ def verify(proof: Proof, crs: CRS, gsum: Affine, hsum: Affine,
     for i, a_i in enumerate(as_):
         p = p * ((i * alpha + beta + a_i) % fh.R) % fh.R
 
-    # accumulate check: B - A - alpha*M == <beta..beta, Gs>
-    C = fh.g1_sub(fh.g1_sub(proof.b, A), fh.g1_mul(M, alpha))
+    # accumulate check: B - A - alpha*M == <beta..beta, Gs> — the left side
+    # enters the final MSM as a linear combination (no eager group ops)
+    C = [(proof.b, 1), (A, -1), (M, (-alpha) % fh.R)]
     msm_accumulator.accumulate_check(C, [beta] * len(crs.gs), crs.gs, rand)
 
     return grand_product.verify(

@@ -75,11 +75,33 @@ def prove(crs: CRS, R: Affine, S: Affine, T: GroupCommitment,
 
 def verify(proof: Proof, crs: CRS, R: Affine, S: Affine,
            T: GroupCommitment, U: GroupCommitment,
-           transcript: Transcript) -> bool:
-    """samescalarargument.go:83-100 — the only eagerly-checked sub-verifier."""
+           transcript: Transcript, msm_accumulator=None,
+           rand: Rand = None) -> bool:
+    """samescalarargument.go:83-100 — eager in the reference (the only
+    non-accumulated sub-verifier, 8 scalar-mults). When an accumulator is
+    supplied, the four point identities defer into the verifier's one MSM
+    as linear combinations instead (the TPU-first path used by
+    curdleproof.verify); standalone callers keep the eager reference
+    behavior."""
     transcript.append_points(LABEL_POINTS, R, S, T.t1, T.t2, U.t1, U.t2,
                              proof.a.t1, proof.a.t2, proof.b.t1, proof.b.t2)
     alpha = transcript.get_and_append_challenge(LABEL_ALPHA)
+
+    if msm_accumulator is not None:
+        # A + alpha*T == com(z_k*R, z_t), B + alpha*U == com(z_k*S, z_u):
+        #   t1 legs:  a.t1 + alpha*T.t1 == z_t*G_t   (resp. z_u*G_u)
+        #   t2 legs:  a.t2 + alpha*T.t2 == z_k*R + z_t*H
+        msm_accumulator.accumulate_check(
+            [(proof.a.t1, 1), (T.t1, alpha)], [proof.z_t], [crs.gt], rand)
+        msm_accumulator.accumulate_check(
+            [(proof.a.t2, 1), (T.t2, alpha)],
+            [proof.z_k, proof.z_t], [R, crs.h], rand)
+        msm_accumulator.accumulate_check(
+            [(proof.b.t1, 1), (U.t1, alpha)], [proof.z_u], [crs.gu], rand)
+        msm_accumulator.accumulate_check(
+            [(proof.b.t2, 1), (U.t2, alpha)],
+            [proof.z_k, proof.z_u], [S, crs.h], rand)
+        return True
 
     expected_1 = GroupCommitment.new(crs.gt, crs.h,
                                      fh.g1_mul(R, proof.z_k), proof.z_t)

@@ -252,7 +252,16 @@ def _build_table(p: PointVec) -> PointVec:
     15 dependent adds: level L computes 2^(L-1)+1 .. 2^L as d_hi + d_lo with
     the already-known halves stacked on a new leading axis. The serial chain
     is the latency floor of every MSM program, so depth matters more than
-    lane count here (the widths are far under one VPU's lanes anyway)."""
+    lane count here (the widths are far under one VPU's lanes anyway).
+
+    Always plain XLA ops: inlined Pallas adds here would re-lower the whole
+    Mosaic kernel per call site inside every jitted MSM program (the round-2
+    device-prover's minutes-long MLIR blowup)."""
+    with _xla_point_ops():
+        return _build_table_xla(p)
+
+
+def _build_table_xla(p: PointVec) -> PointVec:
     p = _settle(p)
     d = [None, p, add(p, p)]                                  # d1, d2
     d += _unstack_points(add(_stack_points([d[2], d[2]]),
@@ -375,7 +384,17 @@ def _reduce_points_axis(cur: PointVec, axis_len: int,
     width drops to `unroll_to`, the tail runs as a lax.fori_loop log-step
     roll-reduction (lane i += lane i+2^k; lane 0 ends holding the total) so
     the remaining log2 levels share ONE traced add body.
+
+    Always plain XLA ops (see _build_table): the tree's shrinking batches
+    are latency-bound as per-level Pallas launches and each level would
+    inline another Mosaic kernel instance.
     """
+    with _xla_point_ops():
+        return _reduce_points_axis_xla(cur, axis_len, unroll_to)
+
+
+def _reduce_points_axis_xla(cur: PointVec, axis_len: int,
+                            unroll_to: int = 8) -> PointVec:
     m = axis_len
     while m > unroll_to:
         half = m // 2
@@ -553,6 +572,18 @@ def msm_rows_windows_from_table(table: PointVec, digits: jnp.ndarray,
         rows = np.asarray(rows, dtype=np.int32)
     tab = pmap_coords(lambda t: jnp.take(t, rows, axis=1), table)  # [16,m,n]
 
+    if _rns_kernel() and n >= 512:
+        # whole wide phase as ONE streamed Pallas kernel (~3.3x the XLA
+        # graph's exec rate). Gated to large n: each (m, n) shape costs a
+        # one-time ~5-minute Mosaic compile through the TPU tunnel, which
+        # only pays for itself where the reduce is long.
+        from . import rns_kernels
+        bound = max(fp.REDUCED, tab.x.iv, tab.y.iv, tab.z.iv) \
+            if isinstance(tab.x.iv, int) else fp.REDUCED
+        wx, wy, wz = rns_kernels.msm_select_reduce(
+            (tab.x.limbs, tab.y.limbs, tab.z.limbs), digits, bound)
+        return PointVec(Fp(wx, 6), Fp(wy, 6), Fp(wz, 6))
+
     m, nn, w = digits.shape
     oh = (digits[..., None] ==
           jnp.arange(TABLE_SIZE, dtype=jnp.int32)).astype(fp.DTYPE)
@@ -591,14 +622,12 @@ def msm_rows_points_from_table(table: PointVec, digits: jnp.ndarray,
     """Per-row MSM jobs straight to FINAL points, all on device.
 
     table [16, k, n]; digits [m, n, 64]; rows [m] int32 (or static tuple).
-    The wide phase (select + points-axis tree reduce) runs as XLA graphs —
-    its shrinking batches fuse well and compile fast as plain ops; the
-    serial Horner tail runs as the streamed windowed_combine Pallas kernel
-    on TPU. Replaces the round-2 scheme that fetched m*64 window points for
-    a ~2.5ms/point host Horner (utils/field_host.g1_combine_windows): the
-    fetch shrinks to m points and the combine is one kernel launch."""
-    with _xla_point_ops():
-        wins = msm_rows_windows_from_table(table, digits, rows)
+    On TPU the whole job is TWO Pallas kernels: the streamed select+reduce
+    wide phase (rns_kernels.msm_select_reduce) and the streamed Horner tail
+    (rns_kernels.windowed_combine). Replaces the round-2 scheme that fetched
+    m*64 window points for a ~2.5ms/point host Horner: the fetch shrinks to
+    m points and each phase is one kernel launch."""
+    wins = msm_rows_windows_from_table(table, digits, rows)
     return _horner(wins)
 
 
@@ -660,7 +689,7 @@ class StackedVec:
         # (k, n, bucket) only — row indices are a traced gather vector
         # (padding rows carry zero digits -> infinity outputs, dropped)
         t_real = len(terms_flat)
-        t_pad = next(b for b in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+        t_pad = next(b for b in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
                      if b >= t_real) if t_real <= 64 else _pad_pow2(t_real)
         digit_rows = np.zeros((t_pad,) + terms_flat[0][1].shape, np.int32)
         rows_idx = np.zeros(t_pad, np.int32)
@@ -706,30 +735,6 @@ class StackedVec:
                                             jnp.int32(h))
         return StackedVec(pv, h)
 
-    def merge_pairs(self, split: int) -> "StackedVec":
-        """[2k, n] -> [k, n]: out[i] = row 2i for lanes < split, row 2i+1
-        shifted up by split for lanes >= split. Builds concatenated bases
-        like the IPA's Gs|Hs without leaving the device."""
-        def prog(pv):
-            a = pmap_coords(lambda t: t[0::2], pv)
-            b = pmap_coords(lambda t: jnp.roll(t[1::2], split, axis=-2), pv)
-            lane = jnp.arange(self.width, dtype=jnp.int32)
-            return select(lane < split, a, b)
-
-        pv = _compiled(f"merge{split}", jax.jit(prog))(self.pv)
-        return StackedVec(pv, self.n_valid)
-
-    def scaled_rows(self, scalar_rows: Sequence[Sequence[int]]) -> "StackedVec":
-        """Per-lane scalar multiplication of every row: row i lane j gets
-        scalar_rows[i][j] (missing lanes -> 0 -> infinity). One device call,
-        nothing fetched. (The grand-product base rescale,
-        /root/reference/grandproductargument/grandproductargument.go:94-103.)"""
-        digits = np.zeros((self.k, self.width, NUM_WINDOWS), dtype=np.int32)
-        for i, row in enumerate(scalar_rows):
-            digits[i, : len(row)] = scalars_to_digits(
-                [int(s) % fh.R for s in row])
-        pv = _compiled("smul", scalar_mul_device)(self.pv, jnp.asarray(digits))
-        return StackedVec(pv, self.n_valid)
 
 
 class FoldedBases:

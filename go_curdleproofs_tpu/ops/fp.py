@@ -48,43 +48,13 @@ inv = _F.inv
 canonical_digits = _F.canonical_digits
 field = _F
 
-# -- multiply dispatch --------------------------------------------------------
-#
-# On TPU, large-batch multiplies route through the fused Mosaic kernel
-# (ops/pallas_field.py): one VMEM-resident program per 256-lane block vs
-# XLA's materialized conv chain. CURDLE_PALLAS=0/1 forces; "auto" = TPU only.
-
-_PALLAS_MODE = os.environ.get("CURDLE_PALLAS", "auto")
-_PALLAS_MIN_LANES = 256
-_pallas_on = None
-
-
-def _pallas_enabled() -> bool:
-    global _pallas_on
-    if _pallas_on is None:
-        if _PALLAS_MODE in ("0", "1"):
-            _pallas_on = _PALLAS_MODE == "1"
-        else:
-            try:
-                import jax
-                _pallas_on = jax.default_backend() != "cpu"
-            except Exception:  # pragma: no cover
-                _pallas_on = False
-    return _pallas_on
+# The limb Fp backend is the wire-format-native ORACLE used for CPU
+# cross-checks of the rns backend; the shipped TPU configuration uses
+# ops/fp_rns.py (see ops/field_backend.py), so limb multiplies stay plain
+# XLA convolutions — no Mosaic kernel path here.
 
 
 def mul(a: Element, b: Element) -> Element:
-    if _pallas_enabled():
-        batch = a.limbs.shape[:-1]
-        lanes = int(np.prod(batch)) if batch else 1
-        if lanes >= _PALLAS_MIN_LANES and batch == b.limbs.shape[:-1]:
-            from . import pallas_field
-            lim = 1 << 14
-            if max(-a.iv[0], a.iv[1], -a.iv[2], a.iv[3]) > lim:
-                a = _F.carry_to(a, REDUCED)
-            if max(-b.iv[0], b.iv[1], -b.iv[2], b.iv[3]) > lim:
-                b = _F.carry_to(b, REDUCED)
-            return pallas_field.mul(a, b)
     return _F.mul(a, b)
 
 

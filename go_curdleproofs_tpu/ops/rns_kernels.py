@@ -142,7 +142,7 @@ class KF:
     def _dot(self, v, mat):
         return jax.lax.dot_general(
             v.astype(jnp.bfloat16), mat.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
+            (((v.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     # -- ring ops (bound bookkeeping mirrors rns.py) ---------------------------
@@ -171,11 +171,11 @@ class KF:
 
     def _gamma_frac(self, dh, dl):
         """Exact-integer gamma estimate from the packed K-piece columns."""
-        g = (dh[:, 74:75] * (2.0 ** -5) + dh[:, 75:76] * (2.0 ** -13)
-             + dh[:, 76:77] * (2.0 ** -21)
-             + dl[:, 74:75] * (2.0 ** -13) + dl[:, 75:76] * (2.0 ** -21)
-             + dl[:, 76:77] * (2.0 ** -29))
-        return g                                            # [B, 1]
+        g = (dh[..., 74:75] * (2.0 ** -5) + dh[..., 75:76] * (2.0 ** -13)
+             + dh[..., 76:77] * (2.0 ** -21)
+             + dl[..., 74:75] * (2.0 ** -13) + dl[..., 75:76] * (2.0 ** -21)
+             + dl[..., 76:77] * (2.0 ** -29))
+        return g                                            # [..., 1]
 
     def _extend(self, xi, mh, ml, neg_m, round_up: bool):
         """Base extension: xi [B, CH] (source channels; zeros elsewhere) ->
@@ -191,8 +191,9 @@ class KF:
             gamma = jnp.floor(gfrac + 0.5)
         else:
             gamma = jnp.floor(gfrac - _GAMMA_SLACK)
-        u = self._mod(dh_h[:, :CH] * 256.0 + dh_l[:, :CH] + dl_h[:, :CH])
-        w = self._mod(u * 256.0 + dl_l[:, :CH]
+        u = self._mod(dh_h[..., :CH] * 256.0 + dh_l[..., :CH]
+                      + dl_h[..., :CH])
+        w = self._mod(u * 256.0 + dl_l[..., :CH]
                       + jnp.broadcast_to(gamma, u.shape) * neg_m)
         return w
 
@@ -209,7 +210,7 @@ class KF:
         zeta = self._mod(t2 * self.zeta_mul)
         t1 = self._extend(zeta, self.mh2, self.ml2, self.neg_m2, True)
         # t1 on B1 lanes, t2 on B2 lanes: disjoint -> combine by add
-        lane = jax.lax.broadcasted_iota(jnp.int32, t2.shape, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, t2.shape, t2.ndim - 1)
         return (jnp.where(lane < J, t1, t2), 3)
 
     def square(self, a):
@@ -481,6 +482,118 @@ def windowed_combine(sel, bounds: tuple, n_windows: int,
 
     ox, oy, oz = _wc_cache[key](*sel)
     return PointVec(rns.RElem(ox, 6), rns.RElem(oy, 6), rns.RElem(oz, 6))
+
+
+_sr_cache = {}
+
+
+def msm_select_reduce(table, digits, bound: int, C: int = 32,
+                      interpret: bool = False):
+    """The MSM wide phase — per-window table select + points-axis reduction —
+    as ONE streamed Pallas kernel (the gnark Pippenger bucket phase
+    equivalent, /root/reference/common/util.go:14).
+
+    table:  3 channel arrays [16, m, n, CH] f32 — each job's multiples
+            table rows, pre-gathered (entry d = d*P_i).
+    digits: [m, n, 64] int32 4-bit window digits, MSB window first.
+    returns 3 channel arrays [m, 64, CH]: window sums S_w = sum_n
+            table[digit[n, w], n], all bound 6.
+
+    Per grid step (job m, chunk of C points): the 16-entry select runs as a
+    16-iteration masked multiply-add (VPU), the C-point reduction as an
+    in-VMEM log2(C) tree of fused complete adds (MXU bf16 base-extension
+    dots), and the per-window accumulators [64, CH] live in VMEM scratch
+    across chunks. Replaces the XLA graph pipeline (one-hot einsum +
+    9-dispatch shrinking tree) whose per-level dispatches and f32-HIGHEST
+    dots dominated MSM device time.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tx, ty, tz = table
+    m, n = tx.shape[1], tx.shape[2]
+    C = min(C, n)
+    assert n % C == 0 and (C & (C - 1)) == 0
+    n_chunks = n // C
+    levels = C.bit_length() - 1
+
+    key = (m, n, C, bound, interpret)
+    if key not in _sr_cache:
+        def kernel(*refs):
+            consts = refs[:len(_CONST_NAMES)]
+            F = KF(*[c[:] for c in consts])
+            txr, tyr, tzr, dgr = refs[len(_CONST_NAMES):len(_CONST_NAMES) + 4]
+            ox, oy, oz = refs[len(_CONST_NAMES) + 4:len(_CONST_NAMES) + 7]
+            ax, ay, az = refs[len(_CONST_NAMES) + 7:]
+            ci = pl.program_id(1)
+
+            D = dgr[0]                                     # [C, 64] int32
+
+            # 16-entry select as a STATIC unrolled masked multiply-add
+            # (dynamic VMEM indexing in a fori body lowers catastrophically),
+            # then flatten to 2D [C*64, CH] c-major so every tree-level add
+            # runs its base-extension dots as ONE [rows,74]x[74,128] MXU
+            # matmul (3D dot_generals decompose per leading index)
+            sx = sy = sz = None
+            for d in range(16):
+                mask = (D == d).astype(jnp.float32)[:, :, None]  # [C, 64, 1]
+                px = mask * txr[d, 0][:, None]
+                py = mask * tyr[d, 0][:, None]
+                pz = mask * tzr[d, 0][:, None]
+                sx = px if sx is None else sx + px
+                sy = py if sy is None else sy + py
+                sz = pz if sz is None else sz + pz
+            flat = lambda t: t.reshape(C * NUM_W, CH)
+            p = ((flat(sx), bound), (flat(sy), bound), (flat(sz), bound))
+
+            # in-VMEM tree over the C points of this chunk: c-major rows, so
+            # the first h*64 rows are the low half
+            for lvl in range(levels):
+                h = (C >> (lvl + 1)) * NUM_W
+                a = tuple((v[:h], b) for v, b in p)
+                bq = tuple((v[h:2 * h], b) for v, b in p)
+                p = kf_point_add(F, a, bq)
+
+            @pl.when(ci == 0)
+            def _init():
+                ax[:] = jnp.zeros((NUM_W, CH), jnp.float32)
+                ay[:] = jnp.broadcast_to(F.one_mont, (NUM_W, CH))
+                az[:] = jnp.zeros((NUM_W, CH), jnp.float32)
+
+            acc = ((ax[:], 6), (ay[:], 6), (az[:], 6))
+            chunk = tuple((v, 6) for v in (p[0][0], p[1][0], p[2][0]))
+            x3, y3, z3 = kf_point_add(F, acc, chunk)
+            ax[:] = x3[0]
+            ay[:] = y3[0]
+            az[:] = z3[0]
+            ox[0] = x3[0]
+            oy[0] = y3[0]
+            oz[0] = z3[0]
+
+        tab_spec = pl.BlockSpec((16, 1, C, CH), lambda mi, ci: (0, mi, ci, 0))
+        dg_spec = pl.BlockSpec((1, C, NUM_W), lambda mi, ci: (mi, ci, 0))
+        out_spec = pl.BlockSpec((1, NUM_W, CH), lambda mi, ci: (mi, 0, 0))
+
+        def run(tx, ty, tz, dg):
+            return pl.pallas_call(
+                kernel,
+                out_shape=[jax.ShapeDtypeStruct((m, NUM_W, CH),
+                                                jnp.float32)] * 3,
+                grid=(m, n_chunks),
+                in_specs=_const_specs(ndims=2) + [tab_spec] * 3 + [dg_spec],
+                out_specs=[out_spec] * 3,
+                scratch_shapes=[pltpu.VMEM((NUM_W, CH), jnp.float32)] * 3,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(*_const_arrays(), tx, ty, tz, dg)
+
+        _sr_cache[key] = jax.jit(run)
+
+    return _sr_cache[key](tx, ty, tz, digits)
+
+
+NUM_W = 64  # windows per 256-bit scalar at 4 bits
 
 
 def mont_mul(a: rns.RElem, b: rns.RElem,

@@ -33,9 +33,11 @@ class ShardedMsmAccumulator(MsmAccumulator):
     def verify(self) -> bool:
         bases = list(self._base_scalar.keys())
         scalars = [self._base_scalar[b] for b in bases]
+        if not bases:
+            return True
         if self.mesh is None:
-            return curve.msm(bases, scalars) == self._acc
-        return pmsm.sharded_msm(bases, scalars, self.mesh) == self._acc
+            return curve.msm(bases, scalars) is None
+        return pmsm.sharded_msm(bases, scalars, self.mesh) is None
 
 
 def verify_shuffle_proofs_batch(

@@ -1,8 +1,8 @@
-"""Device prover v2 (piece-dispatch, RNS backend): proofs byte-identical to
+"""Device prover (piece-dispatch, RNS backend): proofs byte-identical to
 the host path and the transcript stays in lockstep. CPU runs the same
-pieces through XLA (the Pallas fast paths are TPU-gated);
-scripts/ (and bench.py via CURDLE_DEVICE_PROVER=auto) exercise the real
-kernels on the chip."""
+pieces through XLA (the Pallas fast paths are TPU-gated); on TPU the
+device prover is the DEFAULT (CURDLE_DEVICE_PROVER=auto resolves on), so
+bench.py exercises the real kernels on the chip."""
 
 import io
 

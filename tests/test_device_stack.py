@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from go_curdleproofs_tpu.ops import fp, fr, keccak_dev, pallas_field
+from go_curdleproofs_tpu.ops import fp, fr, keccak_dev
 from go_curdleproofs_tpu.ops import strobe_dev as sd
 from go_curdleproofs_tpu.utils import field_host as fh
 from go_curdleproofs_tpu.utils import keccak as kh
@@ -106,17 +106,6 @@ class TestDeviceCompression:
         exp = [codec.g1_to_bytes(fh.g1_add(p, p)) for p in pts]
         for g, e in zip(out, exp):
             assert bytes(g) == e
-
-
-class TestPallasMul:
-    def test_interpret_mode_exact(self):
-        P = fh.P
-        xs = [random.randrange(P) for _ in range(pallas_field.BLOCK)]
-        ys = [random.randrange(P) for _ in range(pallas_field.BLOCK)]
-        a, b = fp.from_ints(xs), fp.from_ints(ys)
-        a2, b2 = fp.sub(a, b), fp.add(b, b)
-        out = pallas_field.mul(a2, b2, interpret=True)
-        assert fp.to_ints(out) == [((x - y) * 2 * y) % P for x, y in zip(xs, ys)]
 
 
 class TestDeviceFr:

@@ -119,3 +119,39 @@ def test_fused_point_ops_match_oracle():
     want = [fh.g1_add(fh.g1_add(p, q), fh.g1_add(q, q))
             for p, q in zip(pts, qts)]
     assert curve.to_affine_host(r2) == want
+
+
+def test_msm_select_reduce_matches_oracle():
+    """The streamed MSM wide-phase kernel (select + in-VMEM reduce tree):
+    window sums must equal the host oracle MSM after Horner combine, with
+    infinity padding lanes and shared tables across jobs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from go_curdleproofs_tpu.ops import curve
+    from go_curdleproofs_tpu.ops.field_backend import Fp
+
+    random.seed(44)
+    n, m, k = 16, 2, 2
+    vecs = [[fh.g1_mul(fh.G1_GEN, random.randrange(1, fh.R))
+             for _ in range(n)] for _ in range(k)]
+    vecs[0][3] = None                       # infinity lane
+    sv = curve.StackedVec.from_affine(vecs)
+    table = sv.table()
+    scal = [[random.randrange(fh.R) for _ in range(n)] for _ in range(m)]
+    scal[1][0] = 0                          # zero scalar lane
+    digits = np.stack([curve.scalars_to_digits(s) for s in scal])
+    rows = np.array([0, 1], np.int32)
+
+    tab = curve.pmap_coords(lambda t: jnp.take(t, rows, axis=1), table)
+    wx, wy, wz = rns_kernels.msm_select_reduce(
+        (tab.x.limbs, tab.y.limbs, tab.z.limbs),
+        jnp.asarray(digits), 6, interpret=True)
+    wins = curve.PointVec(Fp(wx, 6), Fp(wy, 6), Fp(wz, 6))
+    pts = curve.to_affine_host(wins)
+    got = [fh.g1_combine_windows(pts[i * 64:(i + 1) * 64], 4)
+           for i in range(m)]
+    want = [fh.g1_msm([p for p in vecs[r] if p is not None],
+                      [s for p, s in zip(vecs[r], scal[i]) if p is not None])
+            for i, r in enumerate(rows)]
+    assert got == want
