@@ -95,6 +95,10 @@ class _KConsts:
         # stored f32; cast to bf16 inside the kernel (values < 2^8: exact)
         self.mh1, self.ml1 = pack(c1, k1, 0, J)    # B1 -> B2 (targets 37..73)
         self.mh2, self.ml2 = pack(c2, k2, J, 0)    # B2 -> B1 (targets 0..36)
+        # column-packed [CH, 2*NCOL] variants: the extension's four dots
+        # (h|l rows x hi|lo matrices) collapse into ONE MXU matmul
+        self.mhl1 = np.concatenate([self.mh1, self.ml1], axis=1)
+        self.mhl2 = np.concatenate([self.mh2, self.ml2], axis=1)
 
         # negation table rows (bound -> channels of bound*p)
         self.bp = np.asarray(C.bp_table, np.float32)         # [256+1, CH]
@@ -120,12 +124,12 @@ class KF:
     """Kernel-side RNS field, mirroring ops/rns.py value semantics."""
 
     def __init__(self, m, inv_m, xi_mul, zeta_mul, p_r, m1inv_r,
-                 neg_m1, neg_m2, mh1, ml1, mh2, ml2, bp, one_mont):
+                 neg_m1, neg_m2, mhl1, mhl2, bp, one_mont):
         self.m, self.inv_m = m, inv_m
         self.xi_mul, self.zeta_mul = xi_mul, zeta_mul
         self.p_r, self.m1inv_r = p_r, m1inv_r
         self.neg_m1, self.neg_m2 = neg_m1, neg_m2
-        self.mh1, self.ml1, self.mh2, self.ml2 = mh1, ml1, mh2, ml2
+        self.mhl1, self.mhl2 = mhl1, mhl2
         self.bp = bp
         self.one_mont = one_mont
 
@@ -177,15 +181,20 @@ class KF:
              + dl[..., 76:77] * (2.0 ** -29))
         return g                                            # [..., 1]
 
-    def _extend(self, xi, mh, ml, neg_m, round_up: bool):
-        """Base extension: xi [B, CH] (source channels; zeros elsewhere) ->
-        (w [B, CH] on target channels, via 4 bf16 dots), gamma folded in."""
+    def _extend(self, xi, mhl, neg_m, round_up: bool):
+        """Base extension: xi [..., B, CH] (source channels; zeros
+        elsewhere) -> w [..., B, CH] on target channels, gamma folded in.
+        The four logical dots (h|l rows x hi|lo matrix halves) run as ONE
+        [2B, CH] x [CH, 2*NCOL] bf16 MXU matmul."""
         h = jnp.floor(xi * (2.0 ** -8))
         l = xi - h * 256.0
-        dh_h = self._dot(h, mh)          # hC_hi | hK pieces
-        dh_l = self._dot(h, ml)          # hC_lo
-        dl_h = self._dot(l, mh)          # lC_hi
-        dl_l = self._dot(l, ml)          # lC_lo | lK pieces
+        B = xi.shape[-2]
+        hl = jnp.concatenate([h, l], axis=-2)          # [..., 2B, CH]
+        d = self._dot(hl, mhl)                         # [..., 2B, 2*NCOL]
+        dh_h = d[..., :B, :NCOL]         # hC_hi | hK pieces
+        dh_l = d[..., :B, NCOL:]         # hC_lo
+        dl_h = d[..., B:, :NCOL]         # lC_hi
+        dl_l = d[..., B:, NCOL:]         # lC_lo | lK pieces
         gfrac = self._gamma_frac(dh_h, dl_l)
         if round_up:
             gamma = jnp.floor(gfrac + 0.5)
@@ -204,11 +213,11 @@ class KF:
         assert ab * bb <= rns.BOUND_PROD_MAX, (ab, bb)
         s = self._mod(av * bv)
         xi = self._mod(s * self.xi_mul)               # B1 lanes only
-        w2 = self._extend(xi, self.mh1, self.ml1, self.neg_m1, False)
+        w2 = self._extend(xi, self.mhl1, self.neg_m1, False)
         t2 = self._mod(self._mod(s + w2 * self.p_r) * self.m1inv_r)
         # t2 lives on B2 lanes; B1 lanes are zero
         zeta = self._mod(t2 * self.zeta_mul)
-        t1 = self._extend(zeta, self.mh2, self.ml2, self.neg_m2, True)
+        t1 = self._extend(zeta, self.mhl2, self.neg_m2, True)
         # t1 on B1 lanes, t2 on B2 lanes: disjoint -> combine by add
         lane = jax.lax.broadcasted_iota(jnp.int32, t2.shape, t2.ndim - 1)
         return (jnp.where(lane < J, t1, t2), 3)
@@ -271,8 +280,7 @@ def kf_point_double(F: KF, p):
 # pallas wrappers
 
 _CONST_NAMES = ("m", "inv_m", "xi_mul", "zeta_mul", "p_r", "m1inv_r",
-                "neg_m1", "neg_m2", "mh1", "ml1", "mh2", "ml2", "bp",
-                "one_mont")
+                "neg_m1", "neg_m2", "mhl1", "mhl2", "bp", "one_mont")
 
 
 def _const_arrays():
