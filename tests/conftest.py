@@ -12,18 +12,37 @@ any test touches a device) still pins everything to CPU.
 import os
 import sys
 
-os.environ["PALLAS_AXON_POOL_IPS"] = ""   # keep the axon plugin out of the way
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+import pytest
+
+TPU_MODE = os.environ.get("CURDLE_TPU_TESTS", "0") == "1"
+
+if not TPU_MODE:
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""   # keep the axon plugin away
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+if not TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert len(jax.devices()) == 8, jax.devices()
 
-assert jax.default_backend() == "cpu", jax.default_backend()
-assert len(jax.devices()) == 8, jax.devices()
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: needs the real TPU chip (run with CURDLE_TPU_TESTS=1 -m tpu)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if TPU_MODE:
+        return
+    skip = pytest.mark.skip(reason="TPU-only (set CURDLE_TPU_TESTS=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
