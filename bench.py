@@ -25,10 +25,14 @@ BASELINES = {
 }
 
 
-def emit(metric, value, unit, baseline=None):
+def emit(metric, value, unit, baseline=None, rate=False):
+    """vs_baseline > 1 always means BETTER than baseline: baseline/value
+    for latencies (lower is better), value/baseline for rates/throughputs
+    (higher is better)."""
     rec = {"metric": metric, "value": round(value, 2), "unit": unit}
     if baseline:
-        rec["vs_baseline"] = round(baseline / value, 4)
+        ratio = value / baseline if rate else baseline / value
+        rec["vs_baseline"] = round(ratio, 4)
     print(json.dumps(rec), flush=True)
 
 
@@ -137,7 +141,8 @@ def bench_batch_verify(batch=8):
                                                   Rand(8 + i))
     dt = (time.time() - t0) / reps
     emit(f"batch_verify_b{batch}_proofs_per_s", batch / dt, "proofs/s",
-         baseline=batch / (batch * BASELINES["verify"][124] / 1e3))
+         baseline=batch / (batch * BASELINES["verify"][124] / 1e3),
+         rate=True)
 
 
 def main():

@@ -103,13 +103,21 @@ class WhiskShuffleProof:
 def is_valid_whisk_shuffle_proof(crs: CRS, pre_st: List[WhiskTracker],
                                  post_st: List[WhiskTracker],
                                  proof_bytes: bytes, rand: Rand) -> bool:
-    """whisk/whisk.go:20-61."""
-    if len(pre_st) != len(post_st):
-        raise ValueError("pre and post shuffle trackers must be the same length")
-    whisk_proof = WhiskShuffleProof.from_bytes(proof_bytes)
-    Rs, Ss, Ts, Us = _decompress_tracker_sets(pre_st, post_st)
-    return curdleproof.verify(whisk_proof.proof, crs, Rs, Ss, Ts, Us,
-                              whisk_proof.m, rand)
+    """whisk/whisk.go:20-61.
+
+    Mirrors the reference's (ok, err) contract as a boolean validity
+    oracle: malformed or degenerate attacker-supplied bytes (truncated
+    proof, non-canonical point encodings, zero randomizer, ...) return
+    False rather than raising (whisk.go returns (false, err))."""
+    try:
+        if len(pre_st) != len(post_st):
+            return False
+        whisk_proof = WhiskShuffleProof.from_bytes(proof_bytes)
+        Rs, Ss, Ts, Us = _decompress_tracker_sets(pre_st, post_st)
+        return curdleproof.verify(whisk_proof.proof, crs, Rs, Ss, Ts, Us,
+                                  whisk_proof.m, rand)
+    except (ValueError, EOFError):
+        return False
 
 
 def _decompress_tracker_sets(pre_st, post_st):
@@ -190,7 +198,17 @@ def generate_whisk_tracker_proof(tracker: WhiskTracker, k: int,
 
 def is_valid_whisk_tracker_proof(tracker: WhiskTracker, k_comm: bytes,
                                  tracker_proof_bytes: bytes) -> bool:
-    """whisk/whisk.go:116-146."""
+    """whisk/whisk.go:116-146. Returns False (not an exception) on
+    malformed input, mirroring the reference's (ok, err) contract."""
+    try:
+        return _is_valid_whisk_tracker_proof(tracker, k_comm,
+                                             tracker_proof_bytes)
+    except (ValueError, EOFError):
+        return False
+
+
+def _is_valid_whisk_tracker_proof(tracker: WhiskTracker, k_comm: bytes,
+                                  tracker_proof_bytes: bytes) -> bool:
     tracker_proof = TrackerProof.from_bytes(tracker_proof_bytes)
     r_g, k_r_g = tracker.get_points()
     k_g = codec.g1_from_bytes(k_comm)

@@ -47,11 +47,17 @@ def test_tracker_proof_wrong_k_fails():
     assert not whisk.is_valid_whisk_tracker_proof(tracker, k_comm, proof)
 
 
-def test_shuffle_proof_roundtrip():
+@pytest.fixture(scope="module")
+def shuffle_instance():
     rand = Rand(2)
     crs = curdleproof.generate_crs(ELL_TEST, rand)
     trackers = [make_tracker(rand, rand.get_fr()) for _ in range(ELL_TEST)]
     post, proof_bytes = whisk.generate_whisk_shuffle_proof(crs, trackers, rand)
+    return rand, crs, trackers, post, proof_bytes
+
+
+def test_shuffle_proof_roundtrip(shuffle_instance):
+    rand, crs, trackers, post, proof_bytes = shuffle_instance
     assert len(proof_bytes) == whisk.expected_shuffle_proof_size(ELL_TEST)
     assert whisk.is_valid_whisk_shuffle_proof(crs, trackers, post,
                                               proof_bytes, rand)
@@ -60,6 +66,46 @@ def test_shuffle_proof_roundtrip():
     bad_post[0], bad_post[1] = bad_post[1], bad_post[0]
     assert not whisk.is_valid_whisk_shuffle_proof(crs, trackers, bad_post,
                                                   proof_bytes, rand)
+
+
+def test_shuffle_proof_malformed_bytes_return_false(shuffle_instance):
+    """Attacker-supplied malformed bytes must yield False, never raise
+    (the reference returns (false, err), whisk/whisk.go:20-61)."""
+    rand, crs, trackers, post, proof_bytes = shuffle_instance
+    # truncated proof
+    assert not whisk.is_valid_whisk_shuffle_proof(
+        crs, trackers, post, proof_bytes[:37], rand)
+    # bad compression flag byte in the leading point
+    bad = bytes([proof_bytes[0] ^ 0x80]) + proof_bytes[1:]
+    assert not whisk.is_valid_whisk_shuffle_proof(
+        crs, trackers, post, bad, rand)
+    # non-canonical x coordinate (x = p is not canonical)
+    p_bytes = fh.P.to_bytes(48, "big")
+    bad = bytes([0x80 | p_bytes[0]]) + p_bytes[1:] + proof_bytes[48:]
+    assert not whisk.is_valid_whisk_shuffle_proof(
+        crs, trackers, post, bad, rand)
+    # pre/post length mismatch
+    assert not whisk.is_valid_whisk_shuffle_proof(
+        crs, trackers, post[:-1], proof_bytes, rand)
+    # zero randomizer: post-trackers at infinity
+    inf = codec.g1_to_bytes(None)
+    zero_post = [whisk.WhiskTracker(inf, inf) for _ in post]
+    assert not whisk.is_valid_whisk_shuffle_proof(
+        crs, trackers, zero_post, proof_bytes, rand)
+
+
+def test_tracker_proof_malformed_bytes_return_false():
+    rand = Rand(6)
+    k = rand.get_fr()
+    tracker = make_tracker(rand, k)
+    k_comm = codec.g1_to_bytes(fh.g1_mul(fh.G1_GEN, k))
+    proof = whisk.generate_whisk_tracker_proof(tracker, k, rand)
+    assert not whisk.is_valid_whisk_tracker_proof(tracker, k_comm, proof[:64])
+    bad = bytes([proof[0] ^ 0x80]) + proof[1:]
+    assert not whisk.is_valid_whisk_tracker_proof(tracker, k_comm, bad)
+    # non-canonical scalar s (>= r)
+    bad_s = proof[:96] + fh.R.to_bytes(32, "big")
+    assert not whisk.is_valid_whisk_tracker_proof(tracker, k_comm, bad_s)
 
 
 def test_whisk_full_lifecycle():
