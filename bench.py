@@ -8,7 +8,7 @@ Prints ONE JSON line per metric (stdout); the HEADLINE metric
 (shuffle_prove_n508_latency) is the LAST line. Knobs:
   BENCH_ELL=508       headline size
   BENCH_REPS=3        headline prove reps
-  BENCH_SWEEP=1       also run the {60,124,252} sweep (0 to skip)
+  BENCH_SWEEP=0       skip the {60,124,252} sweep (on by default)
 """
 
 import json
@@ -146,14 +146,14 @@ def bench_batch_verify(batch=8):
 
 
 def main():
-    """Headline first: compiles through the TPU tunnel cost minutes per
-    program and are not reliably cached across processes, so the run is
-    ordered to produce the headline metrics even if a harness timeout cuts
-    the tail. BENCH_SWEEP=1 adds the small-size sweep (off by default);
-    BENCH_EXTRAS=0 skips the msm/batch-verify extras."""
+    """Headline first so a harness timeout still captures the headline
+    metrics. Compiled executables persist across processes via the
+    ops/exe_cache serialized-executable store (.exe_cache/), so only the
+    first-ever run pays tunnel compiles. BENCH_SWEEP=0 skips the
+    small-size sweep; BENCH_EXTRAS=0 skips the msm/batch-verify extras."""
     ell = int(os.environ.get("BENCH_ELL", "508"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    sweep = os.environ.get("BENCH_SWEEP", "0") == "1"
+    sweep = os.environ.get("BENCH_SWEEP", "1") == "1"
     extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
 
     prove_ms, verify_ms = bench_size(ell, reps=reps, emit_lines=False)
@@ -164,7 +164,8 @@ def main():
 
     if extras:
         bench_msm()
-        bench_batch_verify()
+        bench_batch_verify(8)
+        bench_batch_verify(32)
     if sweep:
         for e in (60, 124, 252):
             if e != ell:

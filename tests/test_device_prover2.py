@@ -72,3 +72,40 @@ def test_v2_samemsm_byte_identical():
     assert _ser(p1) == _ser(p2)
     assert (t1.get_and_append_challenge(b"probe")
             == t2.get_and_append_challenge(b"probe"))
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("CURDLE_SLOW_TESTS", "0") != "1",
+    reason="~20min of CPU XLA compiles; run with CURDLE_SLOW_TESTS=1 "
+           "(the TPU golden/drive flows exercise the same path)")
+def test_full_prove_byte_identical():
+    """The ONE-FETCH full device prove (device_prover_full) must produce
+    byte-identical proofs AND an identical transcript to the
+    host-orchestrated curdleproof.prove."""
+    from go_curdleproofs_tpu.models import curdleproof, device_prover_full
+
+    ell = N - curdleproof.N_BLINDERS
+    rand = Rand(21)
+    crs = curdleproof.generate_crs(ell, rand)
+    Rs = rand.get_g1s(ell)
+    Ss = rand.get_g1s(ell)
+
+    r1 = Rand(31)
+    perm = r1.generate_permutation(ell)
+    k = r1.get_fr()
+    Ts, Us, M, rs_m = curdleproof.shuffle_permute_commit(
+        crs.gs, crs.hs, Rs, Ss, perm, k, r1)
+    p_host = curdleproof.prove(crs, Rs, Ss, Ts, Us, M, perm, k, rs_m, r1)
+
+    r2 = Rand(31)
+    perm2 = r2.generate_permutation(ell)
+    k2 = r2.get_fr()
+    assert perm2 == perm and k2 == k
+    Ts2, Us2, M2, rs_m2 = curdleproof.shuffle_permute_commit(
+        crs.gs, crs.hs, Rs, Ss, perm2, k2, r2)
+    p_dev = device_prover_full.prove_on_device(
+        crs, Rs, Ss, Ts2, Us2, M2, perm2, k2, rs_m2, r2)
+
+    assert _ser(p_host) == _ser(p_dev)
+    # and it verifies
+    assert curdleproof.verify(p_dev, crs, Rs, Ss, Ts, Us, M, Rand(1))

@@ -123,8 +123,7 @@ class TestDeviceFr:
         assert fr.to_ints(pp) == exp
 
     def test_msm_digit_extraction(self):
-        from go_curdleproofs_tpu.ops import curve
+        from go_curdleproofs_tpu.ops import curve, glv_dev
         a = [random.randrange(fh.R) for _ in range(4)]
-        dd = fr.digits_from_canonical(
-            jax.jit(fr.canonical_digits)(fr.from_ints(a)))
+        dd = jax.jit(glv_dev.glv_split_digits)(fr.from_ints(a))
         assert (np.asarray(dd) == curve.scalars_to_digits(a)).all()

@@ -78,14 +78,15 @@ def test_msm_rows_points_matches_oracle():
     assert curve.to_affine_host(out) == want
 
     # the same window sums through the streamed Horner kernel (interpret)
+    W = curve.NUM_WINDOWS
     wins = curve.msm_rows_windows_from_table(table, digits, rows_a)
     pad = 8 - m
     sel = [jnp.concatenate(
-        [jnp.moveaxis(t, -2, 0), jnp.zeros((64, pad, t.shape[-1]),
+        [jnp.moveaxis(t, -2, 0), jnp.zeros((W, pad, t.shape[-1]),
                                            t.dtype)], axis=1)
         for t in (wins.x.limbs, wins.y.limbs, wins.z.limbs)]
     kout = rns_kernels.windowed_combine(
-        tuple(sel), (wins.x.iv, wins.y.iv, wins.z.iv), 64, interpret=True)
+        tuple(sel), (wins.x.iv, wins.y.iv, wins.z.iv), W, interpret=True)
     got = curve.to_affine_host(kout)[:m]
     assert got == want
 
@@ -148,8 +149,9 @@ def test_msm_select_reduce_matches_oracle():
         (tab.x.limbs, tab.y.limbs, tab.z.limbs),
         jnp.asarray(digits), 6, interpret=True)
     wins = curve.PointVec(Fp(wx, 6), Fp(wy, 6), Fp(wz, 6))
+    W = curve.NUM_WINDOWS
     pts = curve.to_affine_host(wins)
-    got = [fh.g1_combine_windows(pts[i * 64:(i + 1) * 64], 4)
+    got = [fh.g1_combine_windows(pts[i * W:(i + 1) * W], 4)
            for i in range(m)]
     want = [fh.g1_msm([p for p in vecs[r] if p is not None],
                       [s for p, s in zip(vecs[r], scal[i]) if p is not None])
