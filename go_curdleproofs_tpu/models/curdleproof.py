@@ -100,7 +100,17 @@ class Proof:
 def prove(crs: CRS, Rs: List[Affine], Ss: List[Affine], Ts: List[Affine],
           Us: List[Affine], M: Affine, perm: Sequence[int], k: int,
           rs_m: List[int], rand: Rand) -> Proof:
-    """curdleproof.go:38-197."""
+    """curdleproof.go:38-197.
+
+    On TPU (CURDLE_DEVICE_PROVER auto/1) the whole prove runs as one chain
+    of async device programs with a single fetch (device_prover_full);
+    byte-identical to this host-orchestrated path."""
+    from .device_mode import device_prover_version
+    if device_prover_version() is not None:
+        from . import device_prover_full
+        return device_prover_full.prove_on_device(
+            crs, Rs, Ss, Ts, Us, M, perm, k, rs_m, rand)
+
     transcript = Transcript(LABEL_TRANSCRIPT)
 
     # Step 1
@@ -163,7 +173,7 @@ def verify(proof: Proof, crs: CRS, Rs: List[Affine], Ss: List[Affine],
     msm_accumulator = accumulator if deferred else MsmAccumulator()
 
     # reject a zero randomizer that wiped the ciphertexts
-    if Ts[0] is None:
+    if codec.point_is_infinity(Ts[0]):
         raise ValueError("randomizer is zero")
 
     # Step 1
@@ -189,8 +199,11 @@ def verify(proof: Proof, crs: CRS, Rs: List[Affine], Ss: List[Affine],
             msm_accumulator, rand):
         return False
 
-    # Step 4
-    a_prime = fh.g1_add(proof.a, fh.g1_add(proof.cm_t.t1, proof.cm_u.t1))
+    # Step 4 (a_prime is absorbed into the same-msm transcript, so it is
+    # one of the few points a verification materializes)
+    a_prime = fh.g1_add(codec.resolve_point(proof.a),
+                        fh.g1_add(codec.resolve_point(proof.cm_t.t1),
+                                  codec.resolve_point(proof.cm_u.t1)))
     G = list(crs.gs) + list(crs.hs[: N_BLINDERS - 2]) + [crs.gt, crs.gu]
     Ts_prime = list(Ts) + [None, None, crs.h, None]
     Us_prime = list(Us) + [None, None, None, crs.h]
@@ -208,6 +221,24 @@ def verify(proof: Proof, crs: CRS, Rs: List[Affine], Ss: List[Affine],
     return msm_accumulator.verify()
 
 
+_gh_cache = {}
+
+
+def _gh_stacked(crs_gs, crs_hs) -> "curve.StackedVec":
+    """Device-resident one-row [Gs|Hs] bases + extended multiples table,
+    cached per CRS list identity: the shuffle commit, the prover and the
+    batched verifier all address the same device bases, so the upload and
+    table build happen once per CRS per process."""
+    key = (id(crs_gs), id(crs_hs))
+    sv = _gh_cache.get(key)
+    if sv is None:
+        sv = curve.StackedVec.from_affine(
+            [list(crs_gs) + list(crs_hs)],
+            pad_to=len(crs_gs) + len(crs_hs))
+        _gh_cache[key] = sv
+    return sv
+
+
 def shuffle_permute_commit(crs_gs: List[Affine], crs_hs: List[Affine],
                            Rs: List[Affine], Ss: List[Affine],
                            perm: Sequence[int], k: int, rand: Rand):
@@ -222,6 +253,6 @@ def shuffle_permute_commit(crs_gs: List[Affine], crs_hs: List[Affine],
 
     perm_range = same_permutation.permute(list(range(len(crs_gs))), perm)
     rs_m = rand.get_frs(N_BLINDERS)
-    (M,) = curve.StackedVec.from_affine([crs_gs, crs_hs]).msm_many(
-        [[(0, perm_range, 0), (1, rs_m, 0)]])
+    (M,) = _gh_stacked(crs_gs, crs_hs).msm_many(
+        [[(0, perm_range, 0), (0, rs_m, len(crs_gs))]])
     return Ts, Us, M, rs_m

@@ -51,8 +51,10 @@ def challenge_to_fr(chal_be: jnp.ndarray) -> fr.Element:
 
 
 def fr_digits(x: fr.Element) -> jnp.ndarray:
-    """fr Element [..n] -> [..n, 64] MSM window digits (device)."""
-    return fr.digits_from_canonical(fr.canonical_digits(x))
+    """fr Element [n] -> [2n, NUM_WINDOWS] interleaved signed GLV window
+    digits (device Barrett split + bias recode, ops/glv_dev.py)."""
+    from ..ops import glv_dev
+    return glv_dev.glv_split_digits(x)
 
 
 def fr_bytes_be(x: fr.Element) -> jnp.ndarray:

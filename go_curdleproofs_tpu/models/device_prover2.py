@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import compress_dev, curve, fr, limb_kernels, strobe_dev
+from ..ops.exe_cache import cached_jit
 from ..ops.curve import PointVec
 from ..ops.limb_field import REDUCED          # fr carry contract
 from ..utils import field_host as fh
@@ -88,27 +89,39 @@ def _mask_fr(v: fr.Element, keep) -> fr.Element:
     return fr.Element(jnp.where(keep[:, None], v.limbs, 0), v.iv)
 
 
+_fr_inv_scan = cached_jit(lambda g: fr.pow_fixed(g, fh.R - 2),
+                          name="fr_inv_scan")
+
+
 def _gamma_inv(gamma: fr.Element) -> fr.Element:
-    """gamma^-1 via the one-kernel Fermat ladder on TPU. Off-TPU (CPU
+    """gamma^-1 as ONE device program on TPU: the Pallas Fermat ladder
+    when the fused kernels are enabled, otherwise an in-program lax.scan
+    ladder (same dispatch count, minutes-cheaper compile). Off-TPU (CPU
     tests) a fetch is free, so invert on the host — gamma is CANONICAL
     (fresh challenge), its limbs are exact digits."""
     if jax.default_backend() == "tpu":
-        return limb_kernels.pow_fixed(gamma, fh.R - 2, fr.field)
+        # retag to the REDUCED contract (no device ops: every caller's
+        # bound already fits) so all call sites share ONE executable
+        gamma = fr.Element(gamma.limbs, REDUCED)
+        if curve._rns_kernel():
+            return limb_kernels.pow_fixed(gamma, fh.R - 2, fr.field)
+        return _fr_inv_scan(gamma)
     g = fr.to_ints(np.asarray(gamma.limbs))[0]
     return fr_scalar(pow(g, -1, fh.R) if g else 0)
 
 
-_compress = jax.jit(compress_dev.compress)
+_compress = cached_jit(compress_dev.compress_xy, name="compress_xy")
 
 
 # ---------------------------------------------------------------------------
 # IPA pieces
 
 
-@jax.jit
-def _ipa_setup(table, rows, Wg0, Wgp0, rs_c, rs_d, state, CD, z, cs, ds):
-    """Blinder commitments + step-1 absorb + alpha/beta + scalar blend —
-    one dispatch (innerproductargument.go:60-91)."""
+@cached_jit
+def _ipa_setup(table, rows, Wg0, Wgp0, rs_c, rs_d, state, CD, z, cs, ds,
+               hpt):
+    """Blinder commitments + step-1 absorb + alpha/beta + scalar blend +
+    H' = beta*H — one dispatch (innerproductargument.go:60-91)."""
     n = cs.limbs.shape[0]
     dig = jnp.stack([fr_digits(_fr_mul_r(Wg0, rs_c)),
                      fr_digits(_fr_mul_r(Wgp0, rs_d))])
@@ -121,18 +134,19 @@ def _ipa_setup(table, rows, Wg0, Wgp0, rs_c, rs_d, state, CD, z, cs, ds):
     al = broadcast_scalar(alpha, n)
     cs = fr.carry_to(fr.add(rs_c, fr.mul(al, cs)), REDUCED)
     ds = fr.carry_to(fr.add(rs_d, fr.mul(al, ds)), REDUCED)
-    return state, bcd, beta, cs, ds
+    hcur = curve.scalar_mul_device(hpt, fr_digits(beta))
+    return state, bcd, hcur, cs, ds
 
 
-@jax.jit
+@cached_jit
 def _smul_point(pt, scalar):
     """[k]-batch point x one fr scalar (H' = beta*H)."""
     k = pt.x.limbs.shape[0]
-    dig = jnp.broadcast_to(fr_digits(scalar), (k, 64))
+    dig = jnp.tile(fr_digits(scalar), (k, 1))   # [2k, W] interleaved GLV
     return curve.scalar_mul_device(pt, dig)
 
 
-@jax.jit
+@cached_jit
 def _ipa_round_cross(table, rows, hcur, Wg, Wgp, CS, DS, half, blog):
     """The round's 4 cross-terms L_C, L_D, R_C, R_D as lifted level-0 MSMs
     against the FIXED table + the <c_L,d_R>/<c_R,d_L> H-terms
@@ -157,7 +171,7 @@ def _ipa_round_cross(table, rows, hcur, Wg, Wgp, CS, DS, half, blog):
     ipa_cr_dl = _masked_inner(cr, dl, half)
     h2 = _stack_points([hcur, hcur])
     h_terms = curve.scalar_mul_device(
-        h2, jnp.stack([fr_digits(ipa_cl_dr)[0], fr_digits(ipa_cr_dl)[0]]))
+        h2, jnp.concatenate([fr_digits(ipa_cl_dr), fr_digits(ipa_cr_dl)]))
 
     l_c = curve.add(curve.pmap_coords(lambda t: t[0:1], outs),
                     curve.pmap_coords(lambda t: t[0:1], h_terms))
@@ -171,21 +185,25 @@ def _ipa_round_cross(table, rows, hcur, Wg, Wgp, CS, DS, half, blog):
     return lr                                                       # [4]
 
 
-@partial(jax.jit, static_argnames=("label", "chal_label"))
+@partial(cached_jit, static_argnames=("label", "chal_label"))
 def _round_absorb(state, lr_pts, label=LABEL_LOOP, chal_label=LABEL_GAMMA):
-    """Compress + absorb the round's cross terms, squeeze gamma."""
-    blobs = compress_dev.compress(lr_pts)       # [k, 48]
+    """Compress + absorb the round's cross terms, squeeze gamma.
+
+    Returns 96-byte compress_xy rows (compressed form + affine y) so the
+    host assembles proof points WITHOUT per-point sqrts; only the first
+    48 bytes enter the transcript."""
+    blobs = compress_dev.compress_xy(lr_pts)    # [k, 96]
     k = blobs.shape[0]
 
     def body(i, s):
-        return strobe_dev.append_message(s, label, blobs[i])
+        return strobe_dev.append_message(s, label, blobs[i, :48])
 
     state = jax.lax.fori_loop(0, k, body, state)
     state, gamma_be = strobe_dev.get_and_append_challenge(state, chal_label)
     return state, blobs, challenge_to_fr(gamma_be)
 
 
-@jax.jit
+@cached_jit
 def _ipa_round_update(Wg, Wgp, CS, DS, gamma, ginv, half, blog):
     """Lazy fold: weight vectors absorb gamma on the high-bit lanes; the
     replicated scalar vectors fold in place. Pure Fr lane algebra — the
@@ -211,10 +229,51 @@ def _ipa_round_update(Wg, Wgp, CS, DS, gamma, ginv, half, blog):
     return Wg, Wgp, CS, DS
 
 
-@jax.jit
+@cached_jit
 def _final_scalars(cs, ds):
     return (fr.canonical_digits(fr.fmap(lambda t: t[:1], cs)),
             fr.canonical_digits(fr.fmap(lambda t: t[:1], ds)))
+
+
+def run_ipa_rounds(state, table, rows, hcur, Wg, Wgp, csd, dsd, n: int):
+    """The IPA's log(n) folding rounds as chained async device programs
+    (3 dispatches/round: cross+absorb, gamma^-1 ladder, Fr state update).
+    Returns (state, lr_blobs [rounds][4,48], gammas [rounds] fr, csd, dsd).
+    Shared by the per-argument device prover and the full device prove."""
+    rounds = n.bit_length() - 1
+    lr_blobs = []
+    gammas = []
+    for r in range(rounds):
+        half = np.int32(n >> (r + 1))
+        blog = np.int32(n.bit_length() - 2 - r)
+        lr_pts = _ipa_round_cross(table, rows, hcur, Wg, Wgp, csd, dsd,
+                                  half, blog)
+        state, blobs, gamma = _round_absorb(state, lr_pts)
+        lr_blobs.append(blobs)
+        gammas.append(gamma)
+        ginv = _gamma_inv(gamma)
+        Wg, Wgp, csd, dsd = _ipa_round_update(Wg, Wgp, csd, dsd,
+                                              gamma, ginv, half, blog)
+    return state, lr_blobs, gammas, csd, dsd
+
+
+def run_sm_rounds(state, table, xd, n: int):
+    """Same-multiscalar folding rounds; see run_ipa_rounds."""
+    rounds = n.bit_length() - 1
+    lr_blobs = []
+    gammas = []
+    W = fr_const([1] * n)
+    for rd_i in range(rounds):
+        half = np.int32(n >> (rd_i + 1))
+        blog = np.int32(n.bit_length() - 2 - rd_i)
+        lr_pts = _sm_round_cross(table, W, xd, half, blog)
+        state, blobs, gamma = _round_absorb(
+            state, lr_pts, label=SM_LABEL_LOOP, chal_label=SM_LABEL_GAMMA)
+        lr_blobs.append(blobs)
+        gammas.append(gamma)
+        ginv = _gamma_inv(gamma)
+        W, xd = _sm_round_update(W, xd, gamma, ginv, half, blog)
+    return state, lr_blobs, gammas, xd
 
 
 def prove_ipa_on_device(crs_gs: List[Affine], crs_gs_prime: List[Affine],
@@ -258,25 +317,14 @@ def prove_ipa_on_device(crs_gs: List[Affine], crs_gs_prime: List[Affine],
         rcd = fr_const(rs_c)
         rdd = fr_const(rs_d)
         CD = curve._settle(curve.from_affine_host([C, D]))
-        state, bcd, beta, csd, dsd = _ipa_setup(
+        hpt = curve._settle(curve.from_affine_host([crs_h]))
+        state, bcd, hcur, csd, dsd = _ipa_setup(
             table, rows, Wg0, Wgp0, rcd, rdd, state, CD, fr_scalar(z),
-            csd, dsd)
-        hcur = _smul_point(curve._settle(curve.from_affine_host([crs_h])),
-                           beta)
+            csd, dsd, hpt)
 
     with profiling.span("dp2.ipa.rounds"):
-        Wg, Wgp = Wg0, Wgp0
-        lr_blobs = []
-        for r in range(rounds):
-            half = jnp.int32(n >> (r + 1))
-            blog = jnp.int32(n.bit_length() - 2 - r)
-            lr_pts = _ipa_round_cross(table, rows, hcur, Wg, Wgp, csd, dsd,
-                                      half, blog)
-            state, blobs, gamma = _round_absorb(state, lr_pts)
-            lr_blobs.append(blobs)
-            ginv = _gamma_inv(gamma)
-            Wg, Wgp, csd, dsd = _ipa_round_update(Wg, Wgp, csd, dsd,
-                                                  gamma, ginv, half, blog)
+        state, lr_blobs, _gammas, csd, dsd = run_ipa_rounds(
+            state, table, rows, hcur, Wg0, Wgp0, csd, dsd, n)
 
     with profiling.span("dp2.ipa.fetch"):
         b_cd = _compress(bcd)
@@ -285,8 +333,7 @@ def prove_ipa_on_device(crs_gs: List[Affine], crs_gs_prime: List[Affine],
         b_cd_h, lr_h, c0d, d0d, sstate = fetch
 
     def pt(row):
-        return codec.g1_from_bytes(bytes(np.asarray(row).astype(np.uint8)),
-                                   subgroup_check=False)
+        return compress_dev.decode_xy_host(row)
 
     proof = inner_product.Proof(
         b_c=pt(b_cd_h[0]), b_d=pt(b_cd_h[1]),
@@ -305,7 +352,7 @@ def prove_ipa_on_device(crs_gs: List[Affine], crs_gs_prime: List[Affine],
 # same-multiscalar pieces
 
 
-@jax.jit
+@cached_jit
 def _sm_setup(table, r, state, azz, tu_bytes, x):
     """Blinder commitments + step-1 absorb + alpha + scalar blend — one
     dispatch (samemultiscalarargument.go:63-83)."""
@@ -327,7 +374,7 @@ def _sm_setup(table, r, state, azz, tu_bytes, x):
     return state, b_atu, x
 
 
-@jax.jit
+@cached_jit
 def _sm_round_cross(table, W, X, half, blog):
     n = X.limbs.shape[0]
     bit = _fold_bit(n, blog)
@@ -340,7 +387,7 @@ def _sm_round_cross(table, W, X, half, blog):
     return curve.msm_rows_points_from_table(table, dig, rows)      # [6]
 
 
-@jax.jit
+@cached_jit
 def _sm_round_update(W, X, gamma, ginv, half, blog):
     n = X.limbs.shape[0]
     bit = _fold_bit(n, blog)
@@ -357,7 +404,7 @@ def _sm_round_update(W, X, gamma, ginv, half, blog):
     return W, X
 
 
-@jax.jit
+@cached_jit
 def _final_scalar(x):
     return fr.canonical_digits(fr.fmap(lambda t: t[:1], x))
 
@@ -386,20 +433,9 @@ def prove_samemsm_on_device(G: List[Affine], A: Affine, Z_t: Affine,
         rd = fr_const(r)
         state, b_atu, xd = _sm_setup(table, rd, state, azz,
                                      jnp.asarray(tu_bytes), xd)
-        W = fr_const([1] * n)
 
     with profiling.span("dp2.sm.rounds"):
-        lr_blobs = []
-        for rd_i in range(rounds):
-            half = jnp.int32(n >> (rd_i + 1))
-            blog = jnp.int32(n.bit_length() - 2 - rd_i)
-            lr_pts = _sm_round_cross(table, W, xd, half, blog)
-            state, blobs, gamma = _round_absorb(
-                state, lr_pts, label=SM_LABEL_LOOP,
-                chal_label=SM_LABEL_GAMMA)
-            lr_blobs.append(blobs)
-            ginv = _gamma_inv(gamma)
-            W, xd = _sm_round_update(W, xd, gamma, ginv, half, blog)
+        state, lr_blobs, _gammas, xd = run_sm_rounds(state, table, xd, n)
 
     with profiling.span("dp2.sm.fetch"):
         b_blobs = _compress(b_atu)
@@ -408,8 +444,7 @@ def prove_samemsm_on_device(G: List[Affine], A: Affine, Z_t: Affine,
         b_h, lr_h, x0d, sstate = fetch
 
     def pt(row):
-        return codec.g1_from_bytes(bytes(np.asarray(row).astype(np.uint8)),
-                                   subgroup_check=False)
+        return compress_dev.decode_xy_host(row)
 
     proof = same_multiscalar.Proof(
         b_a=pt(b_h[0]), b_t=pt(b_h[1]), b_u=pt(b_h[2]),

@@ -191,8 +191,9 @@ def verify(proof: Proof, crs: CRS, gsum: Affine, hsum: Affine, B: Affine,
 
     # D = B - beta^-1*Gsum + alpha*Hsum (grandproductargument.go:243-246);
     # D is absorbed into the IPA transcript so it must be materialized —
-    # these are 2 of the only 3 host scalar-mults left in a verification
-    D = fh.g1_sub(B, fh.g1_mul(gsum, beta_inv))
+    # these are 2 of the only host scalar-mults left in a verification
+    from ..utils.codec import resolve_point
+    D = fh.g1_sub(resolve_point(B), fh.g1_mul(gsum, beta_inv))
     D = fh.g1_add(D, fh.g1_mul(hsum, alpha))
 
     # Step 4

@@ -32,9 +32,10 @@ Commitment = Union[Affine, LinComb]
 
 def as_terms(c: Commitment, coeff: int = 1) -> List[Tuple[Affine, int]]:
     """Normalize a point-or-lincomb to a coeff-scaled term list."""
+    from ..utils.codec import LazyPoint
     if c is None:
         return []
-    if isinstance(c, tuple):  # a single Affine point
+    if isinstance(c, (tuple, LazyPoint)):  # a single point
         return [(c, coeff)]
     return [(q, coeff * k % fh.R) for (q, k) in c]
 
@@ -44,7 +45,8 @@ class MsmAccumulator:
         self._base_scalar: Dict[Affine, int] = {}
 
     def _bump(self, base: Affine, scalar: int) -> None:
-        if base is None:  # point at infinity contributes nothing
+        from ..utils.codec import point_is_infinity
+        if point_is_infinity(base):  # infinity contributes nothing
             return
         s = (self._base_scalar.get(base, 0) + scalar) % fh.R
         self._base_scalar[base] = s
@@ -60,16 +62,22 @@ class MsmAccumulator:
         alpha = rand.get_fr()
         for xi, vi in zip(x, v):
             self._bump(vi, alpha * xi)
-        if c is None or isinstance(c, tuple):
+        from ..utils.codec import LazyPoint
+        if c is None or isinstance(c, (tuple, LazyPoint)):
             self._bump(c, -alpha)
         else:
             for (q, coeff) in c:
                 self._bump(q, -alpha * coeff)
 
     def verify(self) -> bool:
-        """One deduplicated device MSM == identity (msmaccumulator.go:49-64)."""
-        bases: List[Affine] = list(self._base_scalar.keys())
-        scalars = [self._base_scalar[b] for b in bases]
+        """One deduplicated device MSM == identity (msmaccumulator.go:49-64).
+
+        LazyPoint bases resolve here — ONE batched device decompression
+        for every deferred point of the verification (or batch)."""
+        from ..utils.codec import resolve_point
+        bases: List[Affine] = [resolve_point(b)
+                               for b in self._base_scalar.keys()]
+        scalars = list(self._base_scalar.values())
         if not bases:
             return True
         return curve.msm(bases, scalars) is None

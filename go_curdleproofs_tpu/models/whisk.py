@@ -94,8 +94,14 @@ class WhiskShuffleProof:
         return out
 
     @classmethod
-    def from_bytes(cls, data: bytes) -> "WhiskShuffleProof":
+    def from_bytes(cls, data: bytes,
+                   pool: "codec.DecodePool" = None) -> "WhiskShuffleProof":
+        """With `pool`, every point decode defers into one batched device
+        decompression shared by the whole verification (the verifier's hot
+        decode path, whisk/whisk.go:26-44)."""
         buf = io.BytesIO(data)
+        if pool is not None:
+            buf._curdle_pool = pool
         m = codec.Decoder(buf).read_point()
         return cls(m, curdleproof.Proof.from_reader(buf))
 
@@ -112,12 +118,25 @@ def is_valid_whisk_shuffle_proof(crs: CRS, pre_st: List[WhiskTracker],
     try:
         if len(pre_st) != len(post_st):
             return False
-        whisk_proof = WhiskShuffleProof.from_bytes(proof_bytes)
-        Rs, Ss, Ts, Us = _decompress_tracker_sets(pre_st, post_st)
+        # one DecodePool for the proof's ~45 points AND all 4*ell tracker
+        # points: a verification runs exactly TWO device programs — the
+        # batched decompression (sqrt + subgroup) and the final deferred
+        # MSM of the accumulator
+        pool = codec.DecodePool()
+        whisk_proof = WhiskShuffleProof.from_bytes(proof_bytes, pool=pool)
+        Rs, Ss, Ts, Us = _pool_tracker_sets(pre_st, post_st, pool)
         return curdleproof.verify(whisk_proof.proof, crs, Rs, Ss, Ts, Us,
                                   whisk_proof.m, rand)
     except (ValueError, EOFError):
         return False
+
+
+def _pool_tracker_sets(pre_st, post_st, pool):
+    n = len(pre_st)
+    lp = [pool.add(b) for b in
+          ([t.r_g for t in pre_st] + [t.k_r_g for t in pre_st]
+           + [t.r_g for t in post_st] + [t.k_r_g for t in post_st])]
+    return lp[:n], lp[n:2 * n], lp[2 * n:3 * n], lp[3 * n:]
 
 
 def _decompress_tracker_sets(pre_st, post_st):

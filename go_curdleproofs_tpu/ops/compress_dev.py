@@ -36,6 +36,44 @@ def _lex_gt(a_be: jnp.ndarray, b_be: np.ndarray) -> jnp.ndarray:
     return result
 
 
+def compress_xy(points: PointVec) -> jnp.ndarray:
+    """[n] projective points -> [n, 96] int32: the 48 compressed bytes
+    (transcript format) followed by the affine y big-endian bytes.
+
+    The y plane lets the host recover (x, y) WITHOUT a per-point sqrt
+    (the compressed form alone would force one): proof assembly after the
+    one-fetch prove decodes ~100 points; sqrt-free decode keeps that off
+    the host's critical path."""
+    zinv = fp.inv(points.z)               # 0 for infinity
+    x = fp.mul(points.x, zinv)
+    y = fp.mul(points.y, zinv)
+    xd = fp.canonical_digits(x)
+    yd = fp.canonical_digits(y)
+    zd = fp.canonical_digits(points.z)
+    is_inf = jnp.all(zd == 0, axis=-1)
+
+    xb = _digits_to_be_bytes(xd)
+    y_be = _digits_to_be_bytes(yd)
+    largest = _lex_gt(y_be, _HALF_P_BE)
+    flag = jnp.where(largest, 0xA0, 0x80).astype(jnp.int32)
+    blob = xb.at[..., 0].set(xb[..., 0] + flag)
+    inf_bytes = jnp.zeros_like(blob).at[..., 0].set(0xC0)
+    blob = jnp.where(is_inf[..., None], inf_bytes, blob)
+    y_be = jnp.where(is_inf[..., None], jnp.zeros_like(y_be), y_be)
+    return jnp.concatenate([blob, y_be], axis=-1)
+
+
+def decode_xy_host(row96) -> "tuple | None":
+    """Host decode of one compress_xy row -> Affine (no sqrt)."""
+    import numpy as np
+    b = bytes(np.asarray(row96).astype(np.uint8))
+    if b[0] & 0xC0 == 0xC0:
+        return None
+    x = int.from_bytes(bytes([b[0] & 0x1F]) + b[1:48], "big")
+    y = int.from_bytes(b[48:96], "big")
+    return (x, y)
+
+
 def compress(points: PointVec) -> jnp.ndarray:
     """[n] projective points -> [n, 48] int32 compressed bytes."""
     zinv = fp.inv(points.z)               # 0 for infinity

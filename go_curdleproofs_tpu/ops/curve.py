@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import field_backend as fp
+from . import glv
 from .field_backend import Fp, REDUCED
 from ..utils import field_host as fh
 from ..utils import profiling
@@ -98,8 +99,17 @@ class _xla_point_ops:
 
 
 def _rns_kernel() -> bool:
-    """Fused RNS Pallas point kernels: on for the rns backend on TPU
-    (CURDLE_RNS_KERNEL=0/1 forces)."""
+    """Fused RNS Pallas point kernels: OPT-IN via CURDLE_RNS_KERNEL=1
+    (rns backend only).
+
+    Default OFF even on TPU: the Mosaic kernels execute the wide phase
+    ~3.3x faster than the XLA graphs, but on this backend every distinct
+    (m, n) kernel shape costs a 20-30 MINUTE deferred server-side compile
+    through the tunnel (vs ~1-3 min for the plain-XLA programs), and the
+    one-fetch prover instantiates ~15 such shapes. With the
+    executable cache (ops/exe_cache.py) a fully prewarmed kernel-mode
+    cache is strictly faster — set CURDLE_RNS_KERNEL=1 after running a
+    prewarm pass when the compile budget allows."""
     global _rns_kernel_on
     if _kernel_disable:
         return False
@@ -107,9 +117,7 @@ def _rns_kernel() -> bool:
         if _RNS_KERNEL_MODE in ("0", "1"):
             _rns_kernel_on = _RNS_KERNEL_MODE == "1"
         else:
-            import jax as _jax
-            _rns_kernel_on = (fp.BACKEND == "rns"
-                              and _jax.default_backend() == "tpu")
+            _rns_kernel_on = False
     return _rns_kernel_on
 
 
@@ -193,9 +201,12 @@ def to_affine_host(p: PointVec) -> List[Affine]:
     backend canonicalizes on device (fp.prepare_fetch) so the host only
     recomposes bytes."""
     with profiling.span("to_affine_host.fetch"):
-        stacked = np.asarray(jnp.stack([fp.prepare_fetch(p.x),
-                                        fp.prepare_fetch(p.y),
-                                        fp.prepare_fetch(p.z)]))
+        # ONE jitted program (eager prepare_fetch was ~200ms of per-op
+        # tunnel dispatches), ONE D2H transfer
+        prep = _compiled("prep_fetch", lambda px, py, pz: jnp.stack(
+            [fp.prepare_fetch(px), fp.prepare_fetch(py),
+             fp.prepare_fetch(pz)]))
+        stacked = np.asarray(prep(p.x, p.y, p.z))
     xs = fp.ints_from_fetched(stacked[0])
     ys = fp.ints_from_fetched(stacked[1])
     zs = fp.ints_from_fetched(stacked[2])
@@ -213,26 +224,85 @@ def to_affine_host_single(p: PointVec) -> Affine:
     return to_affine_host(pmap_coords(lambda a: a.reshape(1, -1), p))[0]
 
 
-# -- scalar multiplication / MSM ---------------------------------------------
+def to_affine_host_xy(p: PointVec) -> List[Affine]:
+    """Affine download via device-side normalization + x||y byte rows
+    (compress_dev.compress_xy): 96 B/point instead of 3 raw coordinate
+    planes (888 B/point) and no host batch inversion — the shuffle's
+    1024-point fetch dropped ~150 ms with this path."""
+    from . import compress_dev
+    with profiling.span("to_affine_host_xy"):
+        rows = np.asarray(
+            _compiled("compress_xy_fetch", compress_dev.compress_xy)(p))
+        return [compress_dev.decode_xy_host(r) for r in rows]
 
-WINDOW_BITS = 4
-NUM_WINDOWS = 64  # ceil(256/4): covers any canonical Fr scalar
-TABLE_SIZE = 1 << WINDOW_BITS
+
+# -- scalar multiplication / MSM ---------------------------------------------
+#
+# Every scalar-mul/MSM runs GLV-decomposed with signed 4-bit digits
+# (ops/glv.py; gnark ScalarMultiplication's GLV+wNAF, SURVEY.md §2.2):
+# point lanes extend 2x (lane 2i = P_i, lane 2i+1 = phi(P_i) — one cheap
+# Fp mul, not a point op), scalars split into two <2^128 halves, so the
+# window chain halves (64 -> 33, padded 40) and the multiples tables store
+# 9 magnitudes instead of 16 entries (negation is free: -(X:Y:Z)=(X:-Y:Z)).
+
+WINDOW_BITS = glv.WINDOW_BITS
+NUM_WINDOWS = glv.NUM_WINDOWS      # 33 signed GLV windows (no padding on
+                                   # the XLA paths; kernels pad internally)
+TABLE_SIZE = glv.TABLE_SIZE        # digit magnitudes 0..8
 
 
 def scalars_to_digits(scalars: Sequence[int]) -> np.ndarray:
-    """[n] ints -> [n, 64] int32 4-bit digits, MSB window first.
+    """[n] ints -> [2n, NUM_WINDOWS] int32 signed GLV digits, MSB window
+    first, lanes interleaved (row 2i = s1_i for P_i, 2i+1 = s2_i for
+    phi(P_i))."""
+    return glv.scalars_to_digits_glv([int(s) % fh.R for s in scalars])
 
-    Vectorized via a little-endian byte dump (the per-window python loop was
-    ~400ms per folding round at n=508)."""
-    n = len(scalars)
-    buf = b"".join(int(int(s) % fh.R).to_bytes(32, "little")
-                   for s in scalars)
-    byts = np.frombuffer(buf, np.uint8).reshape(n, 32)
-    lo = byts & 15
-    hi = byts >> 4
-    inter = np.stack([lo, hi], axis=-1).reshape(n, 64)   # LSB digit first
-    return np.ascontiguousarray(inter[:, ::-1]).astype(np.int32)
+
+_beta_cache = {}
+
+
+def _beta_elem() -> Fp:
+    """The GLV cube root of unity as a broadcastable device constant.
+    Only the HOST numpy limb array is cached (fp.from_int is host-pure;
+    a traced jnp constant must not escape one jit trace into another);
+    the Element wrapper is rebuilt per use so each trace embeds its own
+    literal."""
+    if fp.BACKEND not in _beta_cache:
+        _beta_cache[fp.BACKEND] = np.asarray(fp.from_int(glv.BETA))
+    return Fp(jnp.asarray(_beta_cache[fp.BACKEND]), fp.CANONICAL)
+
+
+def _interleave2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[..., n, L] x2 -> [..., 2n, L] with rows interleaved a0,b0,a1,b1..."""
+    st = jnp.stack([a, b], axis=-2)                  # [..., n, 2, L]
+    return st.reshape(st.shape[:-3] + (st.shape[-3] * 2, st.shape[-1]))
+
+
+def extend_table_glv(table: PointVec) -> PointVec:
+    """[T, ..., n] multiples table -> [T, ..., 2n] with phi lanes
+    interleaved. phi(d*P) = d*phi(P) since phi is an endomorphism, so the
+    whole extension is ONE field mul of the x plane by beta."""
+    bx = fp.carry_to(fp.mul(table.x, _beta_elem()), REDUCED)
+    xs = _interleave2(table.x.limbs, bx.limbs)
+    ys = _interleave2(table.y.limbs, table.y.limbs)
+    zs = _interleave2(table.z.limbs, table.z.limbs)
+    return PointVec(Fp(xs, _iv_join(table.x.iv, bx.iv)),
+                    Fp(ys, table.y.iv), Fp(zs, table.z.iv))
+
+
+def _iv_join(a, b):
+    """Join two interval/bound tags (int bounds for rns, 4-tuples for limb)."""
+    if isinstance(a, int):
+        return max(a, b)
+    return (min(a[0], b[0]), max(a[1], b[1]),
+            min(a[2], b[2]), max(a[3], b[3]))
+
+
+def _iv_geq(a, b):
+    if isinstance(a, int):
+        return a >= b
+    return all(x >= y for x, y in zip((-a[0], a[1], -a[2], a[3]),
+                                      (-b[0], b[1], -b[2], b[3])))
 
 
 def _stack_points(ps: Sequence[PointVec]) -> PointVec:
@@ -246,10 +316,11 @@ def _unstack_points(pv: PointVec, k: int) -> List[PointVec]:
 
 
 def _build_table(p: PointVec) -> PointVec:
-    """Stacked multiples table: entry d = d*P_i, d = 0..15; [16, n] points.
+    """Stacked multiples table: entry d = d*P_i, d = 0..8; [9, ..., n]
+    points — signed digits only need MAGNITUDES (the select negates y).
 
-    Built in FOUR batched adds of widths 1/2/4/7 (serial depth 4) instead of
-    15 dependent adds: level L computes 2^(L-1)+1 .. 2^L as d_hi + d_lo with
+    Built in THREE batched adds of widths 1/2/4 (serial depth 3) instead of
+    8 dependent adds: level L computes 2^(L-1)+1 .. 2^L as d_hi + d_lo with
     the already-known halves stacked on a new leading axis. The serial chain
     is the latency floor of every MSM program, so depth matters more than
     lane count here (the widths are far under one VPU's lanes anyway).
@@ -268,37 +339,43 @@ def _build_table_xla(p: PointVec) -> PointVec:
                              _stack_points([p, d[2]])), 2)    # d3, d4
     d += _unstack_points(add(_stack_points([d[4]] * 4),
                              _stack_points(d[1:5])), 4)       # d5..d8
-    d += _unstack_points(add(_stack_points([d[8]] * 7),
-                             _stack_points(d[1:8])), 7)       # d9..d15
     inf = _settle(infinity(p.batch_shape))
-    tab = _stack_points([inf] + [_settle(q) for q in d[1:]])  # [16, ..., n]
+    tab = _stack_points([inf] + [_settle(q) for q in d[1:]])  # [9, ..., n]
     return PointVec(Fp(tab.x.limbs, REDUCED), Fp(tab.y.limbs, REDUCED),
                     Fp(tab.z.limbs, REDUCED))
 
 
 def _onehot(digits: jnp.ndarray) -> jnp.ndarray:
-    """[...] int32 -> [16, ...] one-hot in the fp dtype."""
+    """[...] int32 magnitudes -> [TABLE_SIZE, ...] one-hot in the fp dtype."""
     rng = jnp.arange(TABLE_SIZE, dtype=jnp.int32)
     rng = rng.reshape((TABLE_SIZE,) + (1,) * digits.ndim)
     return (digits[None] == rng).astype(fp.DTYPE)
 
 
+def _neg_y(y: Fp, neg_mask: jnp.ndarray) -> Fp:
+    """Conditionally negate the y plane where the signed digit was negative
+    (free point negation: -(X:Y:Z) = (X:-Y:Z))."""
+    return fp.where(neg_mask, fp.neg(y), y)
+
+
 def _table_select(table: PointVec, digits: jnp.ndarray) -> PointVec:
-    """table [16, ..., n], digits [..., n] -> [..., n] points."""
-    oh = _onehot(digits)  # [16, ..., n]
+    """table [9, ..., n], signed digits [..., n] -> [..., n] points."""
+    oh = _onehot(jnp.abs(digits))  # [9, ..., n]
     pick = lambda t: jnp.einsum("d...n,d...nl->...nl", oh, t,
                                 precision=jax.lax.Precision.HIGHEST)
     f = lambda c: Fp(pick(c.limbs), c.iv)
-    return PointVec(f(table.x), f(table.y), f(table.z))
+    return PointVec(f(table.x),
+                    _neg_y(f(table.y), digits < 0), f(table.z))
 
 
 def _table_select_windows(table: PointVec, digits: jnp.ndarray) -> PointVec:
-    """table [16, ..., n], digits [..., n, 64] -> [..., 64, n] points."""
-    oh = _onehot(digits)  # [16, ..., n, 64]
+    """table [9, ..., n], signed digits [..., n, W] -> [..., W, n] points."""
+    oh = _onehot(jnp.abs(digits))  # [9, ..., n, W]
     pick = lambda t: jnp.einsum("d...nw,d...nl->...wnl", oh, t,
                                 precision=jax.lax.Precision.HIGHEST)
     f = lambda c: Fp(pick(c.limbs), c.iv)
-    return PointVec(f(table.x), f(table.y), f(table.z))
+    neg = jnp.moveaxis(digits < 0, -1, -2)             # [..., W, n]
+    return PointVec(f(table.x), _neg_y(f(table.y), neg), f(table.z))
 
 
 def _x16_add(acc: PointVec, w: PointVec) -> PointVec:
@@ -318,29 +395,32 @@ def _windowed_combine_kernel(sel: PointVec, win_axis: int) -> PointVec:
     from . import rns_kernels
 
     batch = None
+    n_win = sel.x.limbs.shape[win_axis]
 
     def prep(t):
         nonlocal batch
         m = jnp.moveaxis(t, win_axis, 0)        # win axis of the limb array
         batch = m.shape[1:-1]
-        return m.reshape(NUM_WINDOWS, -1, t.shape[-1])
+        return m.reshape(n_win, -1, t.shape[-1])
 
     sx, sy, sz = prep(sel.x.limbs), prep(sel.y.limbs), prep(sel.z.limbs)
     rows = sx.shape[1]
     pad = (-rows) % 8
     if pad:
-        z = jnp.zeros((NUM_WINDOWS, pad, sx.shape[-1]), sx.dtype)
+        z = jnp.zeros((n_win, pad, sx.shape[-1]), sx.dtype)
         sx, sy, sz = (jnp.concatenate([a, z], axis=1) for a in (sx, sy, sz))
     out = rns_kernels.windowed_combine(
-        (sx, sy, sz), (sel.x.iv, sel.y.iv, sel.z.iv), NUM_WINDOWS)
+        (sx, sy, sz), (sel.x.iv, sel.y.iv, sel.z.iv), n_win)
     f = lambda t: t[:rows].reshape(batch + (t.shape[-1],))
     return pmap_coords(f, out)
 
 
 def _horner(windows: PointVec) -> PointVec:
-    """Combine [..., 64] window sums MSB-first: acc = 16*acc + S_w."""
+    """Combine [..., W] window sums MSB-first: acc = 16*acc + S_w."""
     if _rns_kernel():
         return _windowed_combine_kernel(windows, win_axis=-2)
+
+    n_win = windows.x.limbs.shape[-2]
 
     def body(i, acc):
         w = pmap_coords(lambda a, i=i: a[..., i, :], windows)
@@ -349,7 +429,7 @@ def _horner(windows: PointVec) -> PointVec:
         return _x16_add(acc, w)
 
     acc0 = _settle(infinity(windows.x.limbs.shape[:-2]))
-    return jax.lax.fori_loop(0, NUM_WINDOWS, body, acc0)
+    return jax.lax.fori_loop(0, n_win, body, acc0)
 
 
 _CHUNK_LANES = 1 << 15  # max point-lanes per fused add (bounds conv temps)
@@ -415,18 +495,21 @@ def _reduce_points_axis_xla(cur: PointVec, axis_len: int,
     return pmap_coords(lambda t: t[..., 0, :], cur)
 
 
+def _settle_tags(p: PointVec) -> PointVec:
+    return PointVec(Fp(p.x.limbs, REDUCED), Fp(p.y.limbs, REDUCED),
+                    Fp(p.z.limbs, REDUCED))
+
+
 def msm_windows_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
-    """Wide phase of the MSM: points [..., n], digits [..., n, 64] ->
-    [..., 64] window sums. Leading dims batch independent MSMs (over shared
+    """Wide phase of the MSM: points [..., n], GLV digits [..., 2n, W] ->
+    [..., W] window sums. Leading dims batch independent MSMs (over shared
     OR distinct bases) through one table/select/reduce pipeline. The narrow
     window combine happens on the host (fh.g1_combine_windows) — the device
     keeps only the phases with lane-level parallelism."""
-    n = points.x.limbs.shape[-2]
-    table = _build_table(points)
-    cur = _table_select_windows(table, digits)      # [..., 64, n] points
-    cur = PointVec(Fp(cur.x.limbs, REDUCED), Fp(cur.y.limbs, REDUCED),
-                   Fp(cur.z.limbs, REDUCED))
-    return _reduce_points_axis(cur, n)              # [..., 64] points
+    table = extend_table_glv(_build_table(points))  # [9, ..., 2n]
+    n2 = table.x.limbs.shape[-2]
+    cur = _table_select_windows(table, digits)      # [..., W, 2n] points
+    return _reduce_points_axis(_settle_tags(cur), n2)   # [..., W] points
 
 
 def msm_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
@@ -436,21 +519,32 @@ def msm_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
     return _horner(msm_windows_device(points, digits))
 
 
+def _halves_add(ext: PointVec) -> PointVec:
+    """Fold the interleaved GLV lanes back: out[i] = ext[2i] + ext[2i+1]."""
+    a = pmap_coords(lambda t: t[..., 0::2, :], ext)
+    b = pmap_coords(lambda t: t[..., 1::2, :], ext)
+    with _xla_point_ops():
+        return add(a, b)
+
+
 def scalar_mul_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
-    """Batched per-point scalar mult: out[i] = s_i * P_i, over [..., n]."""
-    table = _build_table(points)
+    """Batched per-point scalar mult: out[i] = s_i * P_i over [..., n]
+    (GLV digits [..., 2n, W]): s1_i*P_i and s2_i*phi(P_i) run as adjacent
+    lanes through the halved window chain, then fold with one add."""
+    table = extend_table_glv(_build_table(points))      # [9, ..., 2n]
     if _rns_kernel():
-        sel = _table_select_windows(table, digits)       # [..., 64, n]
-        return _windowed_combine_kernel(sel, win_axis=-3)
+        sel = _table_select_windows(table, digits)      # [..., W, 2n]
+        ext = _windowed_combine_kernel(sel, win_axis=-3)
+        return _halves_add(ext)
 
     def body(w, acc):
         sel = _table_select(table, digits[..., w])
-        sel = PointVec(Fp(sel.x.limbs, REDUCED), Fp(sel.y.limbs, REDUCED),
-                       Fp(sel.z.limbs, REDUCED))
-        return _x16_add(acc, sel)
+        return _x16_add(acc, _settle_tags(sel))
 
-    acc0 = _settle(infinity(points.batch_shape))
-    return jax.lax.fori_loop(0, NUM_WINDOWS, body, acc0)
+    n2 = table.x.limbs.shape[-2]
+    acc0 = _settle(infinity(points.batch_shape[:-1] + (n2,)))
+    ext = jax.lax.fori_loop(0, digits.shape[-1], body, acc0)
+    return _halves_add(ext)
 
 
 def fold_device(pv: PointVec, digits: jnp.ndarray, h: jnp.ndarray) -> PointVec:
@@ -485,7 +579,8 @@ _jit_cache = {}
 
 def _compiled(name, fn):
     if name not in _jit_cache:
-        _jit_cache[name] = jax.jit(fn)
+        from . import exe_cache
+        _jit_cache[name] = exe_cache.cached_jit(fn, name=name)
     return _jit_cache[name]
 
 
@@ -502,24 +597,35 @@ def msm(points: Sequence[Affine], scalars: Sequence[int],
         raise ValueError("msm: len(points) != len(scalars)")
     if not points:
         return None
+    # segment very wide MSMs: the one-shot select would otherwise
+    # materialize multi-GB temporaries (batched verification at batch=32
+    # reaches ~17k bases)
+    SEG = 8192
+    if len(points) > SEG:
+        acc = None
+        for s0 in range(0, len(points), SEG):
+            part = msm(points[s0:s0 + SEG], scalars[s0:s0 + SEG],
+                       pad_to=SEG)
+            acc = fh.g1_add(acc, part)
+        return acc
     sv = StackedVec.from_affine([list(points)], pad_to=pad_to)
     return sv.msm_many([[(0, [int(s) % fh.R for s in scalars], 0)]])[0]
 
 
 def _table_select_jobs(table: PointVec, digits: jnp.ndarray) -> PointVec:
-    """table [16, k, n], digits [m, k, n, w] -> [m, k, w, n] points.
+    """table [9, k, n2], signed digits [m, k, n2, w] -> [m, k, w, n2] points.
 
-    Explicit batched dot_general over (k, n) so XLA contracts the one-hot
-    without materializing a [16, m, k, n, w, l] broadcast (which OOMs at
+    Explicit batched dot_general over (k, n2) so XLA contracts the one-hot
+    without materializing a [9, m, k, n2, w, l] broadcast (which OOMs at
     n=1024)."""
     m, k, n, w = digits.shape
-    oh = (digits[..., None] ==
+    oh = (jnp.abs(digits)[..., None] ==
           jnp.arange(TABLE_SIZE, dtype=jnp.int32)).astype(fp.DTYPE)
-    # [m,k,n,w,16] -> [k,n,16,m*w]
+    # [m,k,n,w,9] -> [k,n,9,m*w]
     oh = oh.transpose(1, 2, 4, 0, 3).reshape(k, n, TABLE_SIZE, m * w)
 
-    def pick(t):   # t: [16, k, n, l]
-        tt = t.transpose(1, 2, 0, 3)               # [k, n, 16, l]
+    def pick(t):   # t: [9, k, n, l]
+        tt = t.transpose(1, 2, 0, 3)               # [k, n, 9, l]
         out = jax.lax.dot_general(
             oh, tt,
             dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
@@ -529,20 +635,19 @@ def _table_select_jobs(table: PointVec, digits: jnp.ndarray) -> PointVec:
         return out.transpose(2, 0, 3, 1, 4)         # [m, k, w, n, l]
 
     f = lambda c: Fp(pick(c.limbs), c.iv)
-    return PointVec(f(table.x), f(table.y), f(table.z))
+    neg = (digits < 0).transpose(0, 1, 3, 2)        # [m, k, w, n]
+    return PointVec(f(table.x), _neg_y(f(table.y), neg), f(table.z))
 
 
 def msm_stacked_device(points: PointVec, digits: jnp.ndarray) -> PointVec:
     """MSMs over stacked bases with per-job digit sets.
 
-    points: [k, n]; digits: [m, k, n, 64] -> [m, k] points. The k base
+    points: [k, n]; GLV digits: [m, k, 2n, W] -> [m, k] points. The k base
     vectors' multiples tables are built ONCE and shared by all m jobs."""
-    n = points.x.limbs.shape[-2]
-    table = _build_table(points)                    # [16, k, n]
-    cur = _table_select_jobs(table, digits)         # [m, k, 64, n]
-    cur = PointVec(Fp(cur.x.limbs, REDUCED), Fp(cur.y.limbs, REDUCED),
-                   Fp(cur.z.limbs, REDUCED))
-    windows = _reduce_points_axis(cur, n)           # [m, k, 64]
+    table = extend_table_glv(_build_table(points))  # [9, k, 2n]
+    n2 = table.x.limbs.shape[-2]
+    cur = _table_select_jobs(table, digits)         # [m, k, W, 2n]
+    windows = _reduce_points_axis(_settle_tags(cur), n2)   # [m, k, W]
     return _horner(windows)
 
 
@@ -550,32 +655,33 @@ def msm_rows_windows_device(points: PointVec, digits: jnp.ndarray,
                             rows: tuple) -> PointVec:
     """MSM jobs that each target ONE base row (the folding arguments' case).
 
-    points: [k, n]; digits: [m, n, 64]; rows: static per-job base indices
-    -> [m, 64] window sums (host-combined). Computes m selected-row
+    points: [k, n]; GLV digits: [m, 2n, W]; rows: static per-job base
+    indices -> [m, W] window sums (host-combined). Computes m selected-row
     pipelines instead of the full m x k product of msm_stacked_device
     (3x less work for the same-multiscalar rounds, 2x for the IPA rounds)."""
-    table = _build_table(points)                            # [16, k, n]
+    table = extend_table_glv(_build_table(points))          # [9, k, 2n]
     return msm_rows_windows_from_table(table, digits, rows)
 
 
 def msm_rows_windows_from_table(table: PointVec, digits: jnp.ndarray,
                                 rows) -> PointVec:
-    """Same as msm_rows_windows_device but over a precomputed multiples
-    table [16, k, n] — the bases of a folding argument never change under
-    the lazy-fold scheme, so the table is built once per argument.
+    """Same as msm_rows_windows_device but over a precomputed (extended)
+    multiples table [9, k, 2n] — the bases of a folding argument never
+    change under the lazy-fold scheme, so the table is built once per
+    argument.
 
     `rows` may be a static tuple OR a traced [m] int32 vector: the traced
     form keeps the jit cache keyed only on (k, n, m) instead of compiling
     one executable per row layout (round-1 cold-verify cost)."""
-    n = table.x.limbs.shape[-2]
+    n2 = table.x.limbs.shape[-2]
     if isinstance(rows, tuple):
         rows = np.asarray(rows, dtype=np.int32)
-    tab = pmap_coords(lambda t: jnp.take(t, rows, axis=1), table)  # [16,m,n]
+    tab = pmap_coords(lambda t: jnp.take(t, rows, axis=1), table)  # [9,m,2n]
 
-    if _rns_kernel() and n >= 512:
+    if _rns_kernel() and n2 >= 512:
         # whole wide phase as ONE streamed Pallas kernel (~3.3x the XLA
-        # graph's exec rate). Gated to large n: each (m, n) shape costs a
-        # one-time ~5-minute Mosaic compile through the TPU tunnel, which
+        # graph's exec rate). Gated to large lane counts: each (m, n) shape
+        # costs a one-time Mosaic compile through the TPU tunnel, which
         # only pays for itself where the reduce is long.
         from . import rns_kernels
         bound = max(fp.REDUCED, tab.x.iv, tab.y.iv, tab.z.iv) \
@@ -585,29 +691,30 @@ def msm_rows_windows_from_table(table: PointVec, digits: jnp.ndarray,
         return PointVec(Fp(wx, 6), Fp(wy, 6), Fp(wz, 6))
 
     m, nn, w = digits.shape
-    oh = (digits[..., None] ==
+    oh = (jnp.abs(digits)[..., None] ==
           jnp.arange(TABLE_SIZE, dtype=jnp.int32)).astype(fp.DTYPE)
-    oh = oh.transpose(0, 1, 3, 2)                           # [m, n, 16, w]
+    oh = oh.transpose(0, 1, 3, 2)                           # [m, 2n, 9, w]
 
-    def pick(t):   # t: [16, m, n, l]
-        tt = t.transpose(1, 2, 0, 3)                        # [m, n, 16, l]
+    def pick(t):   # t: [9, m, 2n, l]
+        tt = t.transpose(1, 2, 0, 3)                        # [m, 2n, 9, l]
         out = jax.lax.dot_general(
             oh, tt, dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
             preferred_element_type=fp.DTYPE,
-            precision=jax.lax.Precision.HIGHEST)            # [m, n, w, l]
-        return out.transpose(0, 2, 1, 3)                    # [m, w, n, l]
+            precision=jax.lax.Precision.HIGHEST)            # [m, 2n, w, l]
+        return out.transpose(0, 2, 1, 3)                    # [m, w, 2n, l]
 
+    neg = (digits < 0).transpose(0, 2, 1)                   # [m, w, 2n]
     cur = PointVec(Fp(pick(tab.x.limbs), tab.x.iv),
-                   Fp(pick(tab.y.limbs), tab.y.iv),
+                   _neg_y(Fp(pick(tab.y.limbs), tab.y.iv), neg),
                    Fp(pick(tab.z.limbs), tab.z.iv))
-    cur = PointVec(Fp(cur.x.limbs, REDUCED), Fp(cur.y.limbs, REDUCED),
-                   Fp(cur.z.limbs, REDUCED))
-    return _reduce_points_axis(cur, n)                      # [m, 64]
+    return _reduce_points_axis(_settle_tags(cur), n2)       # [m, W]
 
 
 def build_table_device(points: PointVec) -> PointVec:
-    """Jit entry for the [16, k, n] multiples table (cached per StackedVec)."""
-    return _compiled("build_table", _build_table)(points)
+    """Jit entry for the [9, k, 2n] GLV-extended multiples table (cached
+    per StackedVec)."""
+    return _compiled("build_table",
+                     lambda p: extend_table_glv(_build_table(p)))(points)
 
 
 def msm_rows_device(points: PointVec, digits: jnp.ndarray,
@@ -728,9 +835,8 @@ class StackedVec:
         if isinstance(gammas, int):
             gammas = [gammas] * self.k
         digits = np.stack([
-            np.broadcast_to(scalars_to_digits([g % fh.R]),
-                            (self.width, NUM_WINDOWS))
-            for g in gammas])
+            np.tile(scalars_to_digits([g % fh.R]), (self.width, 1))
+            for g in gammas])                    # [k, 2*width, W] interleaved
         pv = _compiled("fold", fold_device)(self.pv, jnp.asarray(digits),
                                             jnp.int32(h))
         return StackedVec(pv, h)
@@ -833,8 +939,7 @@ class DeviceVec:
         """self'[i] = self[i] + gamma*self[i + n/2], halving n_valid."""
         h = self.n_valid // 2
         digits = jnp.asarray(
-            np.broadcast_to(scalars_to_digits([gamma % fh.R]),
-                            (self.width, NUM_WINDOWS)))
+            np.tile(scalars_to_digits([gamma % fh.R]), (self.width, 1)))
         pv = _compiled("fold", fold_device)(self.pv, digits,
                                             jnp.int32(h))
         return DeviceVec(pv, h)
@@ -864,6 +969,6 @@ def batch_scalar_mul(points: Sequence[Affine], scalars: Sequence[int]) -> List[A
     sc = [int(s) % fh.R for s in scalars] + [0] * (n - len(scalars))
     with profiling.span(f"batch_scalar_mul[{n}]"):
         pv = from_affine_host(pts)
-        digits = jnp.asarray(scalars_to_digits(sc))
+        digits = scalars_to_digits(sc)
         out = _compiled("smul", scalar_mul_device)(pv, digits)
-        return to_affine_host(out)[: len(points)]
+        return to_affine_host_xy(out)[: len(points)]

@@ -78,11 +78,6 @@ def prefix_products(b: Element) -> Element:
     return jax.lax.associative_scan(combine, shifted, axis=0)
 
 
-def digits_from_canonical(digits256: jnp.ndarray) -> jnp.ndarray:
-    """[n, 33] base-256 canonical digit array -> [n, 64] 4-bit MSM window
-    digits, MSB window first (matches curve.scalars_to_digits)."""
-    b = digits256[..., :32]                      # 32 bytes, LSB first
-    lo = jnp.mod(b, 16)
-    hi = (b - lo) * (1.0 / 16) if b.dtype != jnp.int32 else b // 16
-    inter = jnp.stack([lo, hi], axis=-1).reshape(b.shape[:-1] + (64,))
-    return inter[..., ::-1].astype(jnp.int32)    # MSB window first
+# MSM window digits are produced by ops/glv_dev.glv_split_digits (GLV
+# Barrett split + signed recode), replacing the former unsigned
+# digits_from_canonical path.

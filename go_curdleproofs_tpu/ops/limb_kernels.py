@@ -121,7 +121,8 @@ def pow_fixed(e: lf.Element, exponent: int, field: lf.Field,
                 interpret=interpret,
             )(bits_arr, red, fold_c, one, xf)
 
-        _pow_cache[key] = jax.jit(run)
+        from . import exe_cache
+        _pow_cache[key] = exe_cache.cached_jit(run, name="frpow")
 
     out = _pow_cache[key](x)
     if pad:

@@ -199,6 +199,13 @@ class RElem:
     def batch_shape(self):
         return self.ch.shape[:-1]
 
+    def __repr__(self):
+        # stable (pointer-free) repr: exe_cache call signatures embed it;
+        # after the signature's descriptor tree_map, ch is a string
+        ch = self.ch if isinstance(self.ch, str) \
+            else getattr(self.ch, "shape", "?")
+        return f"RElem(ch={ch}, bound={self.bound})"
+
 
 jax.tree_util.register_pytree_node(
     RElem,
@@ -303,7 +310,10 @@ def from_ints(vals: Sequence[int], mont: bool = True) -> RElem:
     buf = b"".join(int(int(v) % P).to_bytes(49, "little") for v in vals)
     byts = np.frombuffer(buf, np.uint8).reshape(len(vals), 49).astype(np.int64)
     ch = (byts @ C.pw_int) % C.m_int          # terms < 2^25: int64-exact
-    return RElem(jnp.asarray(ch, dtype=DTYPE), 1)
+    # np-backed (jax lifts it lazily): keeps this TRULY host-pure even when
+    # called inside a jit trace (jnp.asarray would stage a traced constant)
+    return RElem(np.asarray(ch, dtype=np.float32)
+                 if DTYPE == jnp.float32 else np.asarray(ch, np.int32), 1)
 
 
 def to_ints_np(ch_arr: np.ndarray, mont: bool = True) -> List[int]:

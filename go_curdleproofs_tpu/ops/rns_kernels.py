@@ -335,7 +335,8 @@ def _fused_call(kind: str, bounds: tuple, n_in: int, n_out: int, fn,
             interpret=interpret,
         )(*_const_arrays(), *flats)
 
-    jfn = jax.jit(run)
+    from . import exe_cache
+    jfn = exe_cache.cached_jit(run, name=f"fused_{kind}")
     _call_cache[key] = jfn
     return jfn
 
@@ -486,7 +487,8 @@ def windowed_combine(sel, bounds: tuple, n_windows: int,
                 interpret=interpret,
             )(*_const_arrays(), flat(sx), flat(sy), flat(sz))
 
-        _wc_cache[key] = jax.jit(run)
+        from . import exe_cache
+        _wc_cache[key] = exe_cache.cached_jit(run, name="wcombine")
 
     ox, oy, oz = _wc_cache[key](*sel)
     return PointVec(rns.RElem(ox, 6), rns.RElem(oy, 6), rns.RElem(oz, 6))
@@ -501,19 +503,22 @@ def msm_select_reduce(table, digits, bound: int, C: int = 32,
     as ONE streamed Pallas kernel (the gnark Pippenger bucket phase
     equivalent, /root/reference/common/util.go:14).
 
-    table:  3 channel arrays [16, m, n, CH] f32 — each job's multiples
-            table rows, pre-gathered (entry d = d*P_i).
-    digits: [m, n, 64] int32 4-bit window digits, MSB window first.
-    returns 3 channel arrays [m, 64, CH]: window sums S_w = sum_n
-            table[digit[n, w], n], all bound 6.
+    table:  3 channel arrays [9, m, n2, CH] f32 — each job's multiples
+            table rows, pre-gathered (entry d = d*P_i, magnitudes 0..8;
+            n2 = 2n GLV-extended interleaved lanes).
+    digits: [m, n2, W] int32 SIGNED 4-bit window digits in [-8, 8],
+            MSB window first (W = glv.NUM_WINDOWS).
+    returns 3 channel arrays [m, W, CH]: window sums S_w = sum_n
+            sign*table[|digit|], all bound 6.
 
-    Per grid step (job m, chunk of C points): the 16-entry select runs as a
-    16-iteration masked multiply-add (VPU), the C-point reduction as an
-    in-VMEM log2(C) tree of fused complete adds (MXU bf16 base-extension
-    dots), and the per-window accumulators [64, CH] live in VMEM scratch
-    across chunks. Replaces the XLA graph pipeline (one-hot einsum +
-    9-dispatch shrinking tree) whose per-level dispatches and f32-HIGHEST
-    dots dominated MSM device time.
+    Per grid step (job m, chunk of C lanes): the 9-magnitude select runs as
+    a masked multiply-add (VPU) with the digit sign folded into the y
+    accumulation (y negation = bound*p - y, one extra bp-row term), the
+    C-point reduction as an in-VMEM log2(C) tree of fused complete adds
+    (MXU bf16 base-extension dots), and the per-window accumulators [W, CH]
+    live in VMEM scratch across chunks. Replaces the XLA graph pipeline
+    (one-hot einsum + 9-dispatch shrinking tree) whose per-level dispatches
+    and f32-HIGHEST dots dominated MSM device time.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -524,6 +529,11 @@ def msm_select_reduce(table, digits, bound: int, C: int = 32,
     assert n % C == 0 and (C & (C - 1)) == 0
     n_chunks = n // C
     levels = C.bit_length() - 1
+    w_in = digits.shape[-1]
+    if w_in < NUM_W:      # pad MSB windows to the 8-aligned kernel layout
+        digits = jnp.concatenate(
+            [jnp.zeros(digits.shape[:-1] + (NUM_W - w_in,), digits.dtype),
+             digits], axis=-1)
 
     key = (m, n, C, bound, interpret)
     if key not in _sr_cache:
@@ -535,22 +545,39 @@ def msm_select_reduce(table, digits, bound: int, C: int = 32,
             ax, ay, az = refs[len(_CONST_NAMES) + 7:]
             ci = pl.program_id(1)
 
-            D = dgr[0]                                     # [C, 64] int32
+            D = dgr[0]                                     # [C, W] int32
 
-            # 16-entry select as a STATIC unrolled masked multiply-add
-            # (dynamic VMEM indexing in a fori body lowers catastrophically),
-            # then flatten to 2D [C*64, CH] c-major so every tree-level add
-            # runs its base-extension dots as ONE [rows,74]x[74,128] MXU
-            # matmul (3D dot_generals decompose per leading index)
+            # 9-magnitude signed select as a STATIC unrolled masked
+            # multiply-add (dynamic VMEM indexing in a fori body lowers
+            # catastrophically): x/z accumulate |d|-selected entries, y
+            # accumulates sign-weighted entries plus one bp-row term per
+            # negative lane (-y == bound*p - y channelwise), then flatten
+            # to 2D [C*W, CH] c-major so every tree-level add runs its
+            # base-extension dots as ONE [rows,74]x[74,256] MXU matmul
+            # (3D dot_generals decompose per leading index)
             sx = sy = sz = None
-            for d in range(16):
-                mask = (D == d).astype(jnp.float32)[:, :, None]  # [C, 64, 1]
-                px = mask * txr[d, 0][:, None]
-                py = mask * tyr[d, 0][:, None]
-                pz = mask * tzr[d, 0][:, None]
+            mneg_any = None
+            for d in range(TABLE_ENTRIES):
+                if d == 0:
+                    msel = (D == 0).astype(jnp.float32)[:, :, None]
+                    ysign = msel
+                else:
+                    mp = (D == d).astype(jnp.float32)[:, :, None]
+                    mn = (D == -d).astype(jnp.float32)[:, :, None]
+                    msel = mp + mn
+                    ysign = mp - mn
+                    mneg_any = mn if mneg_any is None else mneg_any + mn
+                px = msel * txr[d, 0][:, None]
+                py = ysign * tyr[d, 0][:, None]
+                pz = msel * tzr[d, 0][:, None]
                 sx = px if sx is None else sx + px
                 sy = py if sy is None else sy + py
                 sz = pz if sz is None else sz + pz
+            # fold the negation offset in and correct the channel range
+            bp_row = F.bp[bound:bound + 1]
+            sy = sy + mneg_any * bp_row
+            sy = jnp.where(sy < 0, sy + F.m, sy)
+            sy = jnp.where(sy >= F.m, sy - F.m, sy)
             flat = lambda t: t.reshape(C * NUM_W, CH)
             p = ((flat(sx), bound), (flat(sy), bound), (flat(sz), bound))
 
@@ -578,7 +605,8 @@ def msm_select_reduce(table, digits, bound: int, C: int = 32,
             oy[0] = y3[0]
             oz[0] = z3[0]
 
-        tab_spec = pl.BlockSpec((16, 1, C, CH), lambda mi, ci: (0, mi, ci, 0))
+        tab_spec = pl.BlockSpec((TABLE_ENTRIES, 1, C, CH),
+                                lambda mi, ci: (0, mi, ci, 0))
         dg_spec = pl.BlockSpec((1, C, NUM_W), lambda mi, ci: (mi, ci, 0))
         out_spec = pl.BlockSpec((1, NUM_W, CH), lambda mi, ci: (mi, 0, 0))
 
@@ -596,12 +624,19 @@ def msm_select_reduce(table, digits, bound: int, C: int = 32,
                 interpret=interpret,
             )(*_const_arrays(), tx, ty, tz, dg)
 
-        _sr_cache[key] = jax.jit(run)
+        from . import exe_cache
+        _sr_cache[key] = exe_cache.cached_jit(run, name="selreduce")
 
-    return _sr_cache[key](tx, ty, tz, digits)
+    ox, oy, oz = _sr_cache[key](tx, ty, tz, digits)
+    if w_in < NUM_W:      # drop the padded (infinity) leading window sums
+        ox, oy, oz = (t[:, NUM_W - w_in:] for t in (ox, oy, oz))
+    return ox, oy, oz
 
 
-NUM_W = 64  # windows per 256-bit scalar at 4 bits
+from . import glv as _glv
+
+NUM_W = _glv.KERNEL_WINDOWS    # 40: 8-sublane-aligned kernel windows
+TABLE_ENTRIES = _glv.TABLE_SIZE  # 9 digit magnitudes
 
 
 def mont_mul(a: rns.RElem, b: rns.RElem,
@@ -680,7 +715,8 @@ def pow_fixed(e: rns.RElem, exponent: int,
                 interpret=interpret,
             )(*_const_arrays(), bits_arr, xf)
 
-        _pow_cache[key] = jax.jit(run)
+        from . import exe_cache
+        _pow_cache[key] = exe_cache.cached_jit(run, name="powladder")
 
     out = _pow_cache[key](x)
     if pad:

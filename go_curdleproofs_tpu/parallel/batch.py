@@ -31,8 +31,9 @@ class ShardedMsmAccumulator(MsmAccumulator):
         self.mesh = mesh
 
     def verify(self) -> bool:
-        bases = list(self._base_scalar.keys())
-        scalars = [self._base_scalar[b] for b in bases]
+        from ..utils.codec import resolve_point
+        bases = [resolve_point(b) for b in self._base_scalar.keys()]
+        scalars = list(self._base_scalar.values())
         if not bases:
             return True
         if self.mesh is None:
@@ -46,22 +47,33 @@ def verify_shuffle_proofs_batch(
         rand: Rand,
         mesh: Optional[Mesh] = None) -> bool:
     """Verify many (pre_trackers, post_trackers, proof_bytes) instances with
-    one deferred MSM for the entire batch.
+    ONE batched device decompression and ONE deferred MSM for the entire
+    batch (the generalization of msmaccumulator.go:49-64 across proofs).
 
-    Eager per-proof work (transcript replay, same-scalar sigma checks) still
-    runs per proof; all MSM identities land in one shared accumulator.
-    """
+    Every proof's points and tracker sets enter a shared DecodePool as
+    lazy blobs; per-proof work is pure host transcript replay + scalar
+    algebra. The pool's sqrt/subgroup program and the accumulator's final
+    MSM each run once for the whole batch."""
+    from ..utils import codec
+
     acc = ShardedMsmAccumulator(mesh)
-    for pre_st, post_st, proof_bytes in instances:
-        if len(pre_st) != len(post_st):
-            return False
-        wp = whisk.WhiskShuffleProof.from_bytes(proof_bytes)
-        Rs, Ss, Ts, Us = whisk._decompress_tracker_sets(pre_st, post_st)
-        if Ts[0] is None:
-            return False
-        # curdleproof.verify with the shared accumulator: all of this
-        # proof's deferred checks fold in; ONE MSM at the end of the batch.
-        if not curdleproof.verify(wp.proof, crs, Rs, Ss, Ts, Us, wp.m,
-                                  rand, accumulator=acc):
-            return False
-    return acc.verify()
+    pool = codec.DecodePool()
+    parsed = []
+    try:
+        for pre_st, post_st, proof_bytes in instances:
+            if len(pre_st) != len(post_st):
+                return False
+            wp = whisk.WhiskShuffleProof.from_bytes(proof_bytes, pool=pool)
+            tracker_sets = whisk._pool_tracker_sets(pre_st, post_st, pool)
+            parsed.append((wp, tracker_sets))
+        for wp, (Rs, Ss, Ts, Us) in parsed:
+            if Ts[0].is_infinity:
+                return False
+            # shared accumulator: all of this proof's deferred checks fold
+            # in; ONE MSM at the end of the batch
+            if not curdleproof.verify(wp.proof, crs, Rs, Ss, Ts, Us, wp.m,
+                                      rand, accumulator=acc):
+                return False
+        return acc.verify()
+    except (ValueError, EOFError):
+        return False

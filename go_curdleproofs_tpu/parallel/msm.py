@@ -30,11 +30,11 @@ AXIS = "data"
 
 
 def _local_windows(x, y, z, digits):
-    """Per-shard window sums: [n_local] points -> [64] points (stacked as raw
-    limb arrays for shard_map)."""
+    """Per-shard window sums: [n_local] points + [2*n_local, W] GLV digits
+    -> [W] points (stacked as raw limb arrays for shard_map)."""
     pv = PointVec(Fp(x, REDUCED), Fp(y, REDUCED), Fp(z, REDUCED))
-    table = curve._build_table(pv)
-    sel = curve._table_select_windows(table, digits)   # [64, n_local]
+    table = curve.extend_table_glv(curve._build_table(pv))  # [9, 2*n_local]
+    sel = curve._table_select_windows(table, digits)        # [W, 2*n_local]
     sel = PointVec(Fp(sel.x.limbs, REDUCED), Fp(sel.y.limbs, REDUCED),
                    Fp(sel.z.limbs, REDUCED))
     w = curve._reduce_points_axis(sel, sel.x.limbs.shape[1])

@@ -167,6 +167,9 @@ class Encoder:
         self.w = w
 
     def write_point(self, pt: Affine) -> None:
+        if isinstance(pt, LazyPoint):
+            self.w.write(pt.blob)
+            return
         self.w.write(g1_to_bytes(pt))
 
     def write_points(self, pts: List[Affine]) -> None:
@@ -178,10 +181,120 @@ class Encoder:
         self.w.write(fr_to_bytes(x))
 
 
+class LazyPoint:
+    """A compressed point whose decompression is deferred into a batched
+    device decode (utils/codec.py DecodePool).
+
+    The verifier only ever needs most points as (a) transcript bytes —
+    the blob itself — and (b) MSM-accumulator dict keys — blob equality IS
+    point equality for canonical encodings. Actual coordinates are needed
+    only when a point enters a device MSM or a host group op; `resolve()`
+    materializes the WHOLE pool then (one device sqrt/subgroup program +
+    one fetch for every pooled point of a verification or a batch)."""
+
+    __slots__ = ("blob", "_pool")
+
+    def __init__(self, blob: bytes, pool: "DecodePool"):
+        self.blob = blob
+        self._pool = pool
+
+    @property
+    def is_infinity(self) -> bool:
+        return (self.blob[0] & _M_MASK) == _M_COMPRESSED_INFINITY
+
+    def resolve(self) -> Affine:
+        return self._pool.get(self.blob)
+
+    def __eq__(self, other):
+        if isinstance(other, LazyPoint):
+            return self.blob == other.blob
+        if other is None:
+            return self.is_infinity
+        if isinstance(other, tuple):
+            return resolve_point(self) == other
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(self.blob)
+
+    def __repr__(self):
+        return f"LazyPoint({self.blob[:4].hex()}..)"
+
+
+def resolve_point(p):
+    """LazyPoint | Affine | None -> Affine | None."""
+    return p.resolve() if isinstance(p, LazyPoint) else p
+
+
+def point_is_infinity(p) -> bool:
+    if isinstance(p, LazyPoint):
+        return p.is_infinity
+    return p is None
+
+
+def point_bytes(p) -> bytes:
+    """Compressed wire bytes of a LazyPoint (free) or an Affine."""
+    if isinstance(p, LazyPoint):
+        return p.blob
+    return g1_to_bytes(p)
+
+
+class DecodePool:
+    """Blob-deduplicated deferred decode set; ONE device decompression
+    (sqrt + on-curve + subgroup, ops/codec_batch.py) for everything at
+    first resolve."""
+
+    def __init__(self):
+        self._blobs = {}            # blob -> None | Affine
+        self._done = False
+
+    def add(self, blob: bytes) -> LazyPoint:
+        # the cheap host-side validations happen eagerly (flag bits,
+        # canonical x, infinity padding) so malformed bytes fail at parse
+        # time exactly like the eager decoder
+        if len(blob) < G1_COMPRESSED_SIZE:
+            raise ValueError("short buffer for G1 point")
+        meta = blob[0] & _M_MASK
+        if meta == _M_COMPRESSED_INFINITY:
+            if any(bytes([blob[0] & ~_M_MASK & 0xFF]) + blob[1:48]):
+                raise ValueError("invalid infinity encoding")
+        elif meta in (_M_COMPRESSED_SMALLEST, _M_COMPRESSED_LARGEST):
+            xb = bytearray(blob[:48])
+            xb[0] &= ~_M_MASK & 0xFF
+            if int.from_bytes(xb, "big") >= P:
+                raise ValueError("x coordinate not canonical")
+        else:
+            raise ValueError(f"invalid point encoding flags: {blob[0]:#x}")
+        blob = bytes(blob[:48])
+        if blob not in self._blobs:
+            if self._done:
+                raise ValueError("DecodePool already materialized")
+            self._blobs[blob] = False
+        return LazyPoint(blob, self)
+
+    def materialize(self) -> None:
+        if self._done:
+            return
+        from ..ops import codec_batch
+        blobs = list(self._blobs.keys())
+        pts = codec_batch.batch_decompress(blobs)
+        for b, pt in zip(blobs, pts):
+            self._blobs[b] = pt
+        self._done = True
+
+    def get(self, blob: bytes) -> Affine:
+        if not self._done:
+            self.materialize()
+        return self._blobs[blob]
+
+
 class Decoder:
     def __init__(self, r: io.BufferedIOBase, subgroup_check: bool = True):
         self.r = r
         self.subgroup_check = subgroup_check
+        # a DecodePool attached to the stream defers all point decodes
+        # into one batched device decompression (verification hot path)
+        self.pool = getattr(r, "_curdle_pool", None)
 
     def _read(self, n: int) -> bytes:
         data = self.r.read(n)
@@ -190,7 +303,10 @@ class Decoder:
         return data
 
     def read_point(self) -> Affine:
-        return g1_from_bytes(self._read(G1_COMPRESSED_SIZE), self.subgroup_check)
+        blob = self._read(G1_COMPRESSED_SIZE)
+        if self.pool is not None:
+            return self.pool.add(blob)
+        return g1_from_bytes(blob, self.subgroup_check)
 
     def read_points(self) -> List[Affine]:
         (n,) = struct.unpack(">I", self._read(4))

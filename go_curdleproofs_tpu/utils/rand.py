@@ -24,13 +24,24 @@ class Rand:
         self._shake = hashlib.shake_256()
         self._shake.update(struct.pack(">Q", seed))
         self._consumed = 0
+        self._buf = b""
         # cache of generator multiples is handled by the device path; here we
         # use the host oracle (one-off setup sizes only).
 
     def read(self, n: int) -> bytes:
-        """Streaming squeeze: successive reads return successive XOF bytes."""
+        """Streaming squeeze: successive reads return successive XOF bytes.
+
+        hashlib's shake digest(n) recomputes the WHOLE squeeze, so naive
+        per-draw reads are O(stream^2) — 755 ms of a steady n=508 prove
+        went to the ~1.5k Fr draws. Amortize with a doubling buffer
+        (digest(N) is prefix-stable for SHAKE, so bytes never change)."""
         total = self._consumed + n
-        out = self._shake.digest(total)[self._consumed:]
+        if total > len(self._buf):
+            new_len = max(4096, len(self._buf) * 2)
+            while new_len < total:
+                new_len *= 2
+            self._buf = self._shake.digest(new_len)
+        out = self._buf[self._consumed: total]
         self._consumed = total
         return out
 

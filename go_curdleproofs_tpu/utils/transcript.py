@@ -29,7 +29,7 @@ class Transcript:
 
     def append_points(self, label: bytes, *points: Affine) -> None:
         for pt in points:
-            self.inner.append_message(label, codec.g1_to_bytes(pt))
+            self.inner.append_message(label, codec.point_bytes(pt))
 
     def append_scalars(self, label: bytes, *scalars: int) -> None:
         for s in scalars:
