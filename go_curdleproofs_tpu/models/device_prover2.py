@@ -139,14 +139,6 @@ def _ipa_setup(table, rows, Wg0, Wgp0, rs_c, rs_d, state, CD, z, cs, ds,
 
 
 @cached_jit
-def _smul_point(pt, scalar):
-    """[k]-batch point x one fr scalar (H' = beta*H)."""
-    k = pt.x.limbs.shape[0]
-    dig = jnp.tile(fr_digits(scalar), (k, 1))   # [2k, W] interleaved GLV
-    return curve.scalar_mul_device(pt, dig)
-
-
-@cached_jit
 def _ipa_round_cross(table, rows, hcur, Wg, Wgp, CS, DS, half, blog):
     """The round's 4 cross-terms L_C, L_D, R_C, R_D as lifted level-0 MSMs
     against the FIXED table + the <c_L,d_R>/<c_R,d_L> H-terms

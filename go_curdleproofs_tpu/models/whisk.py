@@ -139,17 +139,6 @@ def _pool_tracker_sets(pre_st, post_st, pool):
     return lp[:n], lp[n:2 * n], lp[2 * n:3 * n], lp[3 * n:]
 
 
-def _decompress_tracker_sets(pre_st, post_st):
-    """All 4*ell tracker points in ONE batched device decompression
-    (the verifier's hot decode path, whisk/whisk.go:26-44)."""
-    from ..ops import codec_batch
-    n = len(pre_st)
-    blobs = ([t.r_g for t in pre_st] + [t.k_r_g for t in pre_st]
-             + [t.r_g for t in post_st] + [t.k_r_g for t in post_st])
-    pts = codec_batch.batch_decompress(blobs)
-    return pts[:n], pts[n:2 * n], pts[2 * n:3 * n], pts[3 * n:]
-
-
 def generate_whisk_shuffle_proof(crs: CRS, pre_trackers: List[WhiskTracker],
                                  rand: Rand) -> Tuple[List[WhiskTracker], bytes]:
     """whisk/whisk.go:63-114. ell is len(pre_trackers) (== ELL for the

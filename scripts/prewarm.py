@@ -1,13 +1,16 @@
-"""Prewarm the persistent XLA compile cache for the shipped configuration.
+"""Prewarm the persistent executable cache for the shipped configuration.
 
 Run once per machine/cache-dir (first compiles through the remote-TPU
-tunnel cost minutes; cache hits load in ~1 s):
+tunnel cost minutes EACH — the backend defers real compilation to first
+execution, see ops/exe_cache.py; cached executables reload in <1 s):
 
     python scripts/prewarm.py [ell ...]      # default: 508 124
 
 Exercises one full prove + verify at each size, which compiles every
-executable the prover (device-resident) and verifier dispatch.
-"""
+executable the prover (device-resident) and verifier dispatch. A full
+`python bench.py` run covers the same set plus the batch-verification
+shapes. Prewarm with CURDLE_RNS_KERNEL=1 as well to additionally
+populate the fused Mosaic-kernel executables (20-30 min per shape)."""
 
 import os
 import sys
