@@ -170,7 +170,8 @@ def verify(proof: Proof, crs: CRS, Rs: List[Affine], Ss: List[Affine],
     """
     transcript = Transcript(LABEL_TRANSCRIPT)
     deferred = accumulator is not None
-    msm_accumulator = accumulator if deferred else MsmAccumulator()
+    msm_accumulator = (accumulator if deferred
+                       else MsmAccumulator(static_bases=_gh_static(crs)))
 
     # reject a zero randomizer that wiped the ciphertexts
     if codec.point_is_infinity(Ts[0]):
@@ -226,17 +227,41 @@ _gh_cache = {}
 
 def _gh_stacked(crs_gs, crs_hs) -> "curve.StackedVec":
     """Device-resident one-row [Gs|Hs] bases + extended multiples table,
-    cached per CRS list identity: the shuffle commit, the prover and the
-    batched verifier all address the same device bases, so the upload and
-    table build happen once per CRS per process."""
-    key = (id(crs_gs), id(crs_hs))
+    cached per CRS CONTENT: the shuffle commit, the prover and the batched
+    verifier all address the same device bases, so the upload and table
+    build happen once per CRS per process. Content keys (the point tuples
+    themselves) hold strong references, so a freed CRS can never alias a
+    live cache entry the way id()-keyed entries could."""
+    key = (tuple(crs_gs), tuple(crs_hs))
     sv = _gh_cache.get(key)
     if sv is None:
+        if len(_gh_cache) >= 4:        # bound device memory across CRSs
+            _gh_cache.clear()
         sv = curve.StackedVec.from_affine(
             [list(crs_gs) + list(crs_hs)],
             pad_to=len(crs_gs) + len(crs_hs))
         _gh_cache[key] = sv
     return sv
+
+
+def _gh_static(crs: CRS):
+    """StaticBases view of the CRS [Gs|Hs] device row for the verifier's
+    accumulator: CRS terms of the final MSM ride the once-per-CRS cached
+    multiples table instead of a fresh per-verify table build
+    (VERDICT r4 #3; the point-value index is cached with the StackedVec)."""
+    from .msm_accumulator import StaticBases
+    key = (tuple(crs.gs), tuple(crs.hs))
+    ent = _gh_static_cache.get(key)
+    if ent is None:
+        sv = _gh_stacked(crs.gs, crs.hs)
+        ent = StaticBases(sv, list(crs.gs) + list(crs.hs))
+        if len(_gh_static_cache) >= 4:
+            _gh_static_cache.clear()
+        _gh_static_cache[key] = ent
+    return ent
+
+
+_gh_static_cache = {}
 
 
 def shuffle_permute_commit(crs_gs: List[Affine], crs_hs: List[Affine],

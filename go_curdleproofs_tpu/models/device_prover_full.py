@@ -55,7 +55,9 @@ from .device_common import (_stack_points, append_points_dev,
 
 N_BLINDERS = 4
 
-_rs_cache = {}     # (id(Rs), id(Ss)) -> device StackedVec [Rs, Ss]
+_rs_cache = {}     # (tuple(Rs), tuple(Ss)) -> device StackedVec [Rs, Ss]
+                   # content-keyed: id()-keyed entries could silently serve
+                   # a STALE device vector after CPython address reuse
 
 # transcript labels (byte-exact with the host modules / the reference)
 SP_STEP1 = b"same_perm_step1"
@@ -413,7 +415,7 @@ def prove_on_device(crs, Rs: List[Affine], Ss: List[Affine],
                 curve.from_affine_host([crs.gsum, crs.hsum]))
             crs._dev_sums = Gsum_Hsum
         M_gsum = curve._settle(curve.from_affine_host([M, crs.gsum]))
-        rs_key = (id(Rs), id(Ss))
+        rs_key = (tuple(Rs), tuple(Ss))
         rs_sv = _rs_cache.get(rs_key)
         if rs_sv is None:
             rs_sv = curve.StackedVec.from_affine([Rs, Ss], pad_to=n)

@@ -49,7 +49,9 @@ def _lex_gt_half(digits: jnp.ndarray) -> jnp.ndarray:
     for i in range(digits.shape[-1] - 1, -1, -1):
         result = jnp.where(~decided & gt[..., i], True, result)
         decided = decided | gt[..., i] | lt[..., i]
-    return result | ~decided
+    # ties (y == (p-1)/2 exactly) are NOT largest: strict >, matching
+    # fp_lexicographically_largest / gnark's LexicographicallyLargest
+    return result
 
 
 @cached_jit

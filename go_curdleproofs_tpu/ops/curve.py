@@ -476,10 +476,15 @@ def _reduce_points_axis(cur: PointVec, axis_len: int,
 def _reduce_points_axis_xla(cur: PointVec, axis_len: int,
                             unroll_to: int = 8) -> PointVec:
     m = axis_len
-    while m > unroll_to:
-        half = m // 2
+    while m > unroll_to or (m > 1 and m & (m - 1)):
+        half = (m + 1) // 2
         a = pmap_coords(lambda t: t[..., :half, :], cur)
         b = pmap_coords(lambda t: t[..., half:m, :], cur)
+        if m & 1:  # odd level (non-pow2 widths): pad b with one infinity
+            pad = _settle(infinity(b.batch_shape[:-1] + (1,)))
+            b = PointVec(fp.concat([b.x, pad.x], axis=-2),
+                         fp.concat([b.y, pad.y], axis=-2),
+                         fp.concat([b.z, pad.z], axis=-2))
         cur = _add_chunked(a, b)
         m = half
     if m > 1:
@@ -574,6 +579,19 @@ def _pad_pow2(n: int, minimum: int = 8) -> int:
     return m
 
 
+def _pad_fine(n: int) -> int:
+    """Pad width for one-shot MSMs (the verifier's accumulator): 1.5x-pow2
+    buckets above 1024 so a ~2.1k-base verify MSM runs 2560 lanes wide
+    instead of 4096. Bucket count is kept tiny — every distinct width is a
+    separate compiled executable on this backend."""
+    if n <= 1024:
+        return _pad_pow2(n)
+    for w in (1536, 2048, 2560, 3072, 4096, 6144, 8192):
+        if n <= w:
+            return w
+    return _pad_pow2(n)
+
+
 _jit_cache = {}
 
 
@@ -597,19 +615,26 @@ def msm(points: Sequence[Affine], scalars: Sequence[int],
         raise ValueError("msm: len(points) != len(scalars)")
     if not points:
         return None
-    # segment very wide MSMs: the one-shot select would otherwise
-    # materialize multi-GB temporaries (batched verification at batch=32
-    # reaches ~17k bases)
+    scalars = [int(s) % fh.R for s in scalars]
+    # very wide MSMs (batched verification at batch=32 reaches ~17k bases):
+    # stack 4096-lane segments as ROWS of one StackedVec — ONE device
+    # program computes every segment's windows off one shared table build,
+    # one fetch, host-added partials. Per-row select temporaries stay
+    # bounded; points/s scales with n instead of paying a program+fetch
+    # per segment (gnark MultiExp analog, /root/reference/common/util.go:14)
     SEG = 8192
     if len(points) > SEG:
-        acc = None
-        for s0 in range(0, len(points), SEG):
-            part = msm(points[s0:s0 + SEG], scalars[s0:s0 + SEG],
-                       pad_to=SEG)
-            acc = fh.g1_add(acc, part)
-        return acc
+        row_w = 4096
+        rows = [list(points[s0:s0 + row_w])
+                for s0 in range(0, len(points), row_w)]
+        sv = StackedVec.from_affine(rows, pad_to=row_w)
+        job = [[(i, scalars[i * row_w:(i + 1) * row_w], 0)
+                for i in range(len(rows))]]
+        return sv.msm_many(job)[0]
+    if pad_to == 0:
+        pad_to = _pad_fine(len(points))
     sv = StackedVec.from_affine([list(points)], pad_to=pad_to)
-    return sv.msm_many([[(0, [int(s) % fh.R for s in scalars], 0)]])[0]
+    return sv.msm_many([[(0, scalars, 0)]])[0]
 
 
 def _table_select_jobs(table: PointVec, digits: jnp.ndarray) -> PointVec:
@@ -762,9 +787,12 @@ class StackedVec:
     @classmethod
     def from_affine(cls, vecs: Sequence[Sequence[Affine]],
                     pad_to: int = 0) -> "StackedVec":
+        """pad_to: exact device width when >= the widest vector (callers
+        pick a compile-friendly bucket, e.g. _pad_fine); otherwise the
+        width is the next power of two."""
         k = len(vecs)
         n_valid = max(len(v) for v in vecs)
-        n = _pad_pow2(max(n_valid, pad_to))
+        n = pad_to if pad_to >= n_valid else _pad_pow2(n_valid)
         flat = []
         for v in vecs:
             flat.extend(list(v) + [None] * (n - len(v)))

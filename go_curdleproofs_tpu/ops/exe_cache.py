@@ -58,6 +58,27 @@ def _debug(msg: str) -> None:
         print(msg, file=sys.stderr, flush=True)
 
 
+_trusted = None
+
+
+def _dir_trusted() -> bool:
+    """Refuse to unpickle cached executables from a group/world-writable
+    cache dir: deserialize_and_load payloads are pickles, and unpickling
+    attacker-writable bytes is arbitrary code execution. (The dir is
+    created 0o700 below; this check guards pre-existing/poisoned dirs.)"""
+    global _trusted
+    if _trusted is None:
+        try:
+            st = os.stat(_DIR)
+            _trusted = (st.st_mode & 0o022) == 0 and st.st_uid == os.getuid()
+        except OSError:
+            _trusted = False
+        if not _trusted:
+            _debug(f"exe_cache UNTRUSTED dir {_DIR} (writable by others); "
+                   "loads disabled")
+    return _trusted
+
+
 def _enabled() -> bool:
     if _ENABLED == "0":
         return False
@@ -138,7 +159,7 @@ class CachedJit:
                 lowered.as_text().encode() + b"\0" + sig.encode()
                 + b"\0" + _backend_fingerprint()).hexdigest()
             path = os.path.join(_DIR, f"{self._name}-{key[:32]}.jexe")
-            if os.path.exists(path):
+            if os.path.exists(path) and _dir_trusted():
                 with open(path, "rb") as f:
                     payload = pickle.load(f)
                 exe = se.deserialize_and_load(*payload)
@@ -156,7 +177,7 @@ class CachedJit:
                     break
             payload = se.serialize(compiled)
             with _lock:
-                os.makedirs(_DIR, exist_ok=True)
+                os.makedirs(_DIR, mode=0o700, exist_ok=True)
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "wb") as f:
                     pickle.dump(payload, f)

@@ -26,18 +26,18 @@ from . import msm as pmsm
 class ShardedMsmAccumulator(MsmAccumulator):
     """MsmAccumulator whose final MSM runs sharded over a mesh."""
 
-    def __init__(self, mesh: Optional[Mesh] = None):
-        super().__init__()
+    def __init__(self, mesh: Optional[Mesh] = None, static_bases=None):
+        super().__init__(static_bases=static_bases)
         self.mesh = mesh
 
     def verify(self) -> bool:
+        if self.mesh is None:
+            return super().verify()
         from ..utils.codec import resolve_point
         bases = [resolve_point(b) for b in self._base_scalar.keys()]
         scalars = list(self._base_scalar.values())
         if not bases:
             return True
-        if self.mesh is None:
-            return curve.msm(bases, scalars) is None
         return pmsm.sharded_msm(bases, scalars, self.mesh) is None
 
 
@@ -56,7 +56,8 @@ def verify_shuffle_proofs_batch(
     MSM each run once for the whole batch."""
     from ..utils import codec
 
-    acc = ShardedMsmAccumulator(mesh)
+    acc = ShardedMsmAccumulator(
+        mesh, static_bases=curdleproof._gh_static(crs))
     pool = codec.DecodePool()
     parsed = []
     try:

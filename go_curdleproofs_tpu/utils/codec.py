@@ -206,12 +206,15 @@ class LazyPoint:
         return self._pool.get(self.blob)
 
     def __eq__(self, other):
+        # NOTE: no LazyPoint == tuple comparison — hash(LazyPoint) is
+        # hash(blob), which differs from hash(tuple), and defining equality
+        # where hashes disagree breaks dict/set semantics (the MSM
+        # accumulator keys on points). Compare point_bytes() explicitly
+        # when cross-representation equality is needed.
         if isinstance(other, LazyPoint):
             return self.blob == other.blob
         if other is None:
             return self.is_infinity
-        if isinstance(other, tuple):
-            return resolve_point(self) == other
         return NotImplemented
 
     def __hash__(self):
