@@ -67,43 +67,33 @@ def broadcast_scalar(a: fr.Element, n: int) -> fr.Element:
     return fr.Element(jnp.broadcast_to(a.limbs, (n, fr.NLIMBS)), a.iv)
 
 
-def append_scalars_dev(state, label: bytes, x: fr.Element):
-    """Absorb each row of x as a 32-byte BE scalar (transcript.append_scalars)."""
+def append_scalars_dev(ts: "strobe_dev.TState", label: bytes,
+                       x: fr.Element) -> None:
+    """Absorb each row of x as a 32-byte BE scalar (transcript.append_scalars)
+    — ONE static-layout bulk absorb (scan over rate blocks), not k chained
+    message programs."""
     rows = fr_bytes_be(x)
-    if rows.ndim == 1:
-        rows = rows[None]
-    k = rows.shape[0]
-    if k == 1:
-        return strobe_dev.append_message(state, label, rows[0])
-
-    def body(i, s):
-        return strobe_dev.append_message(s, label, rows[i])
-
-    return jax.lax.fori_loop(0, k, body, state)
+    ts.append_rows(label, rows)
 
 
-def append_points_dev(state, label: bytes, pv: PointVec):
+def append_points_dev(ts: "strobe_dev.TState", label: bytes,
+                      pv: PointVec) -> None:
     """Compress points on device and absorb (transcript.append_points)."""
-    blobs = compress_dev.compress(pv)    # [k, 48]
-    if blobs.ndim == 1:
-        blobs = blobs[None]
-    k = blobs.shape[0]
-    if k == 1:
-        return strobe_dev.append_message(state, label, blobs[0])
-
-    def body(i, s):
-        return strobe_dev.append_message(s, label, blobs[i])
-
-    return jax.lax.fori_loop(0, k, body, state)
+    ts.append_rows(label, compress_dev.compress(pv))
 
 
-def challenge_fr(state, label: bytes) -> Tuple[object, fr.Element]:
-    state, chal = strobe_dev.get_and_append_challenge(state, label)
-    return state, challenge_to_fr(chal)
+def challenge_fr(ts: "strobe_dev.TState", label: bytes) -> fr.Element:
+    return challenge_to_fr(ts.get_and_append_challenge(label))
 
 
 def transcript_to_device(t: Transcript):
-    return strobe_dev.from_host(t.inner.strobe)
+    """Host transcript -> (traced state bytes, STATIC pos, STATIC pos_begin).
+    The positions are concrete host ints; every device piece burns them in
+    as static args (ops/strobe_dev.py TState)."""
+    s = t.inner.strobe
+    import numpy as np
+    st = jnp.asarray(np.frombuffer(bytes(s.state), np.uint8).astype(np.int32))
+    return st, s.pos, s.pos_begin
 
 
 def _roll_fr(vec: fr.Element, shift) -> fr.Element:

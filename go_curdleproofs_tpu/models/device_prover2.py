@@ -54,10 +54,17 @@ from .device_common import (LABEL_ALPHA, LABEL_BETA, LABEL_GAMMA, LABEL_LOOP,
                             fr_digits, fr_scalar, transcript_to_device)
 
 
-def _sync_host_transcript(transcript: Transcript, sstate) -> None:
-    transcript.inner.strobe = strobe_dev.to_host(
-        strobe_dev.SState(jnp.asarray(sstate[0]), jnp.asarray(sstate[1]),
-                          jnp.asarray(sstate[2])), None, 0)
+def _sync_host_transcript(transcript: Transcript, st_bytes,
+                          pos: int, pos_begin: int) -> None:
+    """Adopt the fetched device transcript state; pos/pos_begin are STATIC
+    (strobe_dev.post_challenge_pos of the last device challenge label)."""
+    from ..utils import strobe as strobe_host
+    h = strobe_host.Strobe128.__new__(strobe_host.Strobe128)
+    h.state = bytearray(np.asarray(st_bytes).astype(np.uint8).tobytes())
+    h.pos = int(pos)
+    h.pos_begin = int(pos_begin)
+    h.cur_flags = 0
+    transcript.inner.strobe = h
 
 
 def _fr_mul_r(a: fr.Element, b: fr.Element) -> fr.Element:
@@ -117,25 +124,26 @@ _compress = cached_jit(compress_dev.compress_xy, name="compress_xy")
 # IPA pieces
 
 
-@cached_jit
+@partial(cached_jit, static_argnames=("tpos", "tpb"))
 def _ipa_setup(table, rows, Wg0, Wgp0, rs_c, rs_d, state, CD, z, cs, ds,
-               hpt):
+               hpt, *, tpos, tpb):
     """Blinder commitments + step-1 absorb + alpha/beta + scalar blend +
     H' = beta*H — one dispatch (innerproductargument.go:60-91)."""
     n = cs.limbs.shape[0]
     dig = jnp.stack([fr_digits(_fr_mul_r(Wg0, rs_c)),
                      fr_digits(_fr_mul_r(Wgp0, rs_d))])
     bcd = curve.msm_rows_points_from_table(table, dig, rows[:2])
-    state = append_points_dev(state, LABEL_STEP1, CD)
-    state = append_scalars_dev(state, LABEL_STEP1, z)
-    state = append_points_dev(state, LABEL_STEP1, bcd)
-    state, alpha = challenge_fr(state, LABEL_ALPHA)
-    state, beta = challenge_fr(state, LABEL_BETA)
+    ts = strobe_dev.TState(state, tpos, tpb)
+    append_points_dev(ts, LABEL_STEP1, CD)
+    append_scalars_dev(ts, LABEL_STEP1, z)
+    append_points_dev(ts, LABEL_STEP1, bcd)
+    alpha = challenge_fr(ts, LABEL_ALPHA)
+    beta = challenge_fr(ts, LABEL_BETA)
     al = broadcast_scalar(alpha, n)
     cs = fr.carry_to(fr.add(rs_c, fr.mul(al, cs)), REDUCED)
     ds = fr.carry_to(fr.add(rs_d, fr.mul(al, ds)), REDUCED)
     hcur = curve.scalar_mul_device(hpt, fr_digits(beta))
-    return state, bcd, hcur, cs, ds
+    return ts.st, bcd, hcur, cs, ds
 
 
 @cached_jit
@@ -177,22 +185,19 @@ def _ipa_round_cross(table, rows, hcur, Wg, Wgp, CS, DS, half, blog):
     return lr                                                       # [4]
 
 
-@partial(cached_jit, static_argnames=("label", "chal_label"))
-def _round_absorb(state, lr_pts, label=LABEL_LOOP, chal_label=LABEL_GAMMA):
+@partial(cached_jit, static_argnames=("label", "chal_label", "tpos", "tpb"))
+def _round_absorb(state, lr_pts, label=LABEL_LOOP, chal_label=LABEL_GAMMA,
+                  *, tpos, tpb):
     """Compress + absorb the round's cross terms, squeeze gamma.
 
     Returns 96-byte compress_xy rows (compressed form + affine y) so the
     host assembles proof points WITHOUT per-point sqrts; only the first
     48 bytes enter the transcript."""
     blobs = compress_dev.compress_xy(lr_pts)    # [k, 96]
-    k = blobs.shape[0]
-
-    def body(i, s):
-        return strobe_dev.append_message(s, label, blobs[i, :48])
-
-    state = jax.lax.fori_loop(0, k, body, state)
-    state, gamma_be = strobe_dev.get_and_append_challenge(state, chal_label)
-    return state, blobs, challenge_to_fr(gamma_be)
+    ts = strobe_dev.TState(state, tpos, tpb)
+    ts.append_rows(label, blobs[:, :48])
+    gamma_be = ts.get_and_append_challenge(chal_label)
+    return ts.st, blobs, challenge_to_fr(gamma_be)
 
 
 @cached_jit
@@ -227,11 +232,14 @@ def _final_scalars(cs, ds):
             fr.canonical_digits(fr.fmap(lambda t: t[:1], ds)))
 
 
-def run_ipa_rounds(state, table, rows, hcur, Wg, Wgp, csd, dsd, n: int):
+def run_ipa_rounds(state, tpos, tpb, table, rows, hcur, Wg, Wgp, csd, dsd,
+                   n: int):
     """The IPA's log(n) folding rounds as chained async device programs
     (3 dispatches/round: cross+absorb, gamma^-1 ladder, Fr state update).
-    Returns (state, lr_blobs [rounds][4,48], gammas [rounds] fr, csd, dsd).
-    Shared by the per-argument device prover and the full device prove."""
+    tpos/tpb: the STATIC transcript position at entry (post_challenge_pos
+    of the preceding challenge). Returns (state, lr_blobs [rounds][4,48],
+    gammas [rounds] fr, csd, dsd). Shared by the per-argument device
+    prover and the full device prove."""
     rounds = n.bit_length() - 1
     lr_blobs = []
     gammas = []
@@ -240,7 +248,9 @@ def run_ipa_rounds(state, table, rows, hcur, Wg, Wgp, csd, dsd, n: int):
         blog = np.int32(n.bit_length() - 2 - r)
         lr_pts = _ipa_round_cross(table, rows, hcur, Wg, Wgp, csd, dsd,
                                   half, blog)
-        state, blobs, gamma = _round_absorb(state, lr_pts)
+        state, blobs, gamma = _round_absorb(state, lr_pts,
+                                            tpos=tpos, tpb=tpb)
+        tpos, tpb = strobe_dev.post_challenge_pos(LABEL_GAMMA)
         lr_blobs.append(blobs)
         gammas.append(gamma)
         ginv = _gamma_inv(gamma)
@@ -249,7 +259,7 @@ def run_ipa_rounds(state, table, rows, hcur, Wg, Wgp, csd, dsd, n: int):
     return state, lr_blobs, gammas, csd, dsd
 
 
-def run_sm_rounds(state, table, xd, n: int):
+def run_sm_rounds(state, tpos, tpb, table, xd, n: int):
     """Same-multiscalar folding rounds; see run_ipa_rounds."""
     rounds = n.bit_length() - 1
     lr_blobs = []
@@ -260,7 +270,9 @@ def run_sm_rounds(state, table, xd, n: int):
         blog = np.int32(n.bit_length() - 2 - rd_i)
         lr_pts = _sm_round_cross(table, W, xd, half, blog)
         state, blobs, gamma = _round_absorb(
-            state, lr_pts, label=SM_LABEL_LOOP, chal_label=SM_LABEL_GAMMA)
+            state, lr_pts, label=SM_LABEL_LOOP, chal_label=SM_LABEL_GAMMA,
+            tpos=tpos, tpb=tpb)
+        tpos, tpb = strobe_dev.post_challenge_pos(SM_LABEL_GAMMA)
         lr_blobs.append(blobs)
         gammas.append(gamma)
         ginv = _gamma_inv(gamma)
@@ -310,13 +322,15 @@ def prove_ipa_on_device(crs_gs: List[Affine], crs_gs_prime: List[Affine],
         rdd = fr_const(rs_d)
         CD = curve._settle(curve.from_affine_host([C, D]))
         hpt = curve._settle(curve.from_affine_host([crs_h]))
+        state, tpos, tpb = state
         state, bcd, hcur, csd, dsd = _ipa_setup(
             table, rows, Wg0, Wgp0, rcd, rdd, state, CD, fr_scalar(z),
-            csd, dsd, hpt)
+            csd, dsd, hpt, tpos=tpos, tpb=tpb)
+        tpos, tpb = strobe_dev.post_challenge_pos(LABEL_BETA)
 
     with profiling.span("dp2.ipa.rounds"):
         state, lr_blobs, _gammas, csd, dsd = run_ipa_rounds(
-            state, table, rows, hcur, Wg0, Wgp0, csd, dsd, n)
+            state, tpos, tpb, table, rows, hcur, Wg0, Wgp0, csd, dsd, n)
 
     with profiling.span("dp2.ipa.fetch"):
         b_cd = _compress(bcd)
@@ -336,7 +350,8 @@ def prove_ipa_on_device(crs_gs: List[Affine], crs_gs_prime: List[Affine],
         c0=sum(int(v) << (8 * i) for i, v in enumerate(np.asarray(c0d)[0])),
         d0=sum(int(v) << (8 * i) for i, v in enumerate(np.asarray(d0d)[0])),
     )
-    _sync_host_transcript(transcript, sstate)
+    _sync_host_transcript(transcript, sstate,
+                          *strobe_dev.post_challenge_pos(LABEL_GAMMA))
     return proof
 
 
@@ -344,26 +359,25 @@ def prove_ipa_on_device(crs_gs: List[Affine], crs_gs_prime: List[Affine],
 # same-multiscalar pieces
 
 
-@cached_jit
-def _sm_setup(table, r, state, azz, tu_bytes, x):
+@partial(cached_jit, static_argnames=("tpos", "tpb"))
+def _sm_setup(table, r, state, azz, tu_bytes, x, *, tpos, tpb):
     """Blinder commitments + step-1 absorb + alpha + scalar blend — one
-    dispatch (samemultiscalarargument.go:63-83)."""
+    dispatch (samemultiscalarargument.go:63-83). The 2n tracker-point
+    rows absorb as ONE scan over rate blocks (the prover's single largest
+    transcript chain)."""
     n = x.limbs.shape[0]
     rdig = fr_digits(r)
     dig = jnp.stack([rdig, rdig, rdig])
     b_atu = curve.msm_rows_points_from_table(
         table, dig, jnp.asarray(np.arange(3, dtype=np.int32)))
-    state = append_points_dev(state, SM_LABEL_STEP1, azz)
-
-    def absorb_tu(i, s):
-        return strobe_dev.append_message(s, SM_LABEL_STEP1, tu_bytes[i])
-
-    state = jax.lax.fori_loop(0, tu_bytes.shape[0], absorb_tu, state)
-    state = append_points_dev(state, SM_LABEL_STEP1, b_atu)
-    state, alpha = challenge_fr(state, SM_LABEL_ALPHA)
+    ts = strobe_dev.TState(state, tpos, tpb)
+    append_points_dev(ts, SM_LABEL_STEP1, azz)
+    ts.append_rows(SM_LABEL_STEP1, tu_bytes)
+    append_points_dev(ts, SM_LABEL_STEP1, b_atu)
+    alpha = challenge_fr(ts, SM_LABEL_ALPHA)
     x = fr.carry_to(fr.add(r, fr.mul(broadcast_scalar(alpha, n), x)),
                     REDUCED)
-    return state, b_atu, x
+    return ts.st, b_atu, x
 
 
 @cached_jit
@@ -423,11 +437,15 @@ def prove_samemsm_on_device(G: List[Affine], A: Affine, Z_t: Affine,
 
         xd = fr_const(x)
         rd = fr_const(r)
+        state, tpos, tpb = state
         state, b_atu, xd = _sm_setup(table, rd, state, azz,
-                                     jnp.asarray(tu_bytes), xd)
+                                     jnp.asarray(tu_bytes), xd,
+                                     tpos=tpos, tpb=tpb)
+        tpos, tpb = strobe_dev.post_challenge_pos(SM_LABEL_ALPHA)
 
     with profiling.span("dp2.sm.rounds"):
-        state, lr_blobs, _gammas, xd = run_sm_rounds(state, table, xd, n)
+        state, lr_blobs, _gammas, xd = run_sm_rounds(state, tpos, tpb,
+                                                     table, xd, n)
 
     with profiling.span("dp2.sm.fetch"):
         b_blobs = _compress(b_atu)
@@ -448,5 +466,6 @@ def prove_samemsm_on_device(G: List[Affine], A: Affine, Z_t: Affine,
         r_u=[pt(lr_h[rd][5]) for rd in range(rounds)],
         x=sum(int(v) << (8 * i) for i, v in enumerate(np.asarray(x0d)[0])),
     )
-    _sync_host_transcript(transcript, sstate)
+    _sync_host_transcript(transcript, sstate,
+                          *strobe_dev.post_challenge_pos(SM_LABEL_GAMMA))
     return proof

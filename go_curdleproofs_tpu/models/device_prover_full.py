@@ -71,17 +71,6 @@ SS_POINTS = b"sameexp_points"
 SS_ALPHA = b"sameexp_alpha"
 
 
-def _absorb_rows(state, label: bytes, rows):
-    """Absorb constant byte rows [k, len] under one label (fori chain)."""
-    if rows.ndim == 1:
-        return strobe_dev.append_message(state, label, rows)
-
-    def body(i, s):
-        return strobe_dev.append_message(s, label, rows[i])
-
-    return jax.lax.fori_loop(0, rows.shape[0], body, state)
-
-
 def _scalar_rows(vals: Sequence[int]) -> np.ndarray:
     return np.stack([np.frombuffer(int(v % fh.R).to_bytes(32, "big"),
                                    np.uint8).astype(np.int32)
@@ -133,20 +122,22 @@ def _one_lanes(n: int) -> fr.Element:
 # device pieces (ell static: it drives lane slicing)
 
 
-@partial(cached_jit, static_argnames=("ell",))
+@partial(cached_jit, static_argnames=("ell", "tpos", "tpb"))
 def _piece_sameperm(state, table, digA, m_bytes, as_rows, perm_v,
-                    perm_as_v, rs_m_v, rs_ap_v, M_gsum, *, ell):
+                    perm_as_v, rs_m_v, rs_ap_v, M_gsum, *, ell, tpos, tpb):
     """Commit A; same-permutation step 1 + challenges; bs, p, B, rs_b
-    (samepermutationargument.go:32-78)."""
+    (samepermutationargument.go:32-78). The ell challenge-scalar rows
+    absorb as ONE scan over rate blocks."""
     n = perm_v.limbs.shape[0]
     A = curve.msm_rows_points_from_table(table, digA[None],
                                          jnp.zeros(1, jnp.int32))  # [1]
 
-    state = append_points_dev(state, SP_STEP1, A)
-    state = _absorb_rows(state, SP_STEP1, m_bytes)
-    state = _absorb_rows(state, SP_STEP1, as_rows)
-    state, alpha = challenge_fr(state, SP_ALPHA)
-    state, beta = challenge_fr(state, SP_BETA)
+    ts = strobe_dev.TState(state, tpos, tpb)
+    append_points_dev(ts, SP_STEP1, A)
+    ts.append_rows(SP_STEP1, m_bytes)
+    ts.append_rows(SP_STEP1, as_rows)
+    alpha = challenge_fr(ts, SP_ALPHA)
+    beta = challenge_fr(ts, SP_BETA)
 
     # bs[i] = alpha*perm[i] + as[perm[i]] + beta on the first ell lanes;
     # dead lanes hold 1 (so the product tree ignores them)
@@ -168,18 +159,19 @@ def _piece_sameperm(state, table, digA, m_bytes, as_rows, perm_v,
 
     rs_b = fr.carry_to(fr.add(fr.mul(fr.fmap(lambda t: t[:4], al), rs_m_v),
                               rs_ap_v), REDUCED)
-    return state, A, B, bs, p, rs_b
+    return ts.st, A, B, bs, p, rs_b
 
 
-@partial(cached_jit, static_argnames=("ell",))
-def _piece_gpa1(state, table, B, bs, p, rs_b, r_cs_pad, *, ell):
+@partial(cached_jit, static_argnames=("ell", "tpos", "tpb"))
+def _piece_gpa1(state, table, B, bs, p, rs_b, r_cs_pad, *, ell, tpos, tpb):
     """Grand-product steps 1-2: absorb B,p; alpha; partial products cs;
     C = <cs ++ r_cs, [Gs|Hs]>; r_p; absorb C, r_p; beta
     (grandproductargument.go:42-93)."""
     n = bs.limbs.shape[0]
-    state = append_points_dev(state, GP_STEP1, B)
-    state = append_scalars_dev(state, GP_STEP1, p)
-    state, alpha = challenge_fr(state, GP_ALPHA)
+    ts = strobe_dev.TState(state, tpos, tpb)
+    append_points_dev(ts, GP_STEP1, B)
+    append_scalars_dev(ts, GP_STEP1, p)
+    alpha = challenge_fr(ts, GP_ALPHA)
 
     # cs[0]=1, cs[i] = prod bs[:i] over live lanes (dead bs lanes are 1)
     cs = fr.prefix_products(bs)
@@ -194,10 +186,10 @@ def _piece_gpa1(state, table, B, bs, p, rs_b, r_cs_pad, *, ell):
     r_cs4 = fr.fmap(lambda t: t[ell:ell + 4], cs_full)
     r_p = _inner(r_b_plus_alpha, r_cs4)
 
-    state = append_points_dev(state, GP_STEP2, C)
-    state = append_scalars_dev(state, GP_STEP2, r_p)
-    state, beta = challenge_fr(state, GP_BETA)
-    return state, C, cs_full, r_b_plus_alpha, r_p, alpha, beta
+    append_points_dev(ts, GP_STEP2, C)
+    append_scalars_dev(ts, GP_STEP2, r_p)
+    beta = challenge_fr(ts, GP_BETA)
+    return ts.st, C, cs_full, r_b_plus_alpha, r_p, alpha, beta
 
 
 @partial(cached_jit, static_argnames=("ell",))
@@ -303,9 +295,9 @@ def _piece_step3(table_rs, dig_rs):
         table_rs, dig_rs, jnp.asarray(np.array([0, 1], np.int32)))
 
 
-@cached_jit
+@partial(cached_jit, static_argnames=("tpos", "tpb"))
 def _piece_sigma(state, RS, A, base_pts, dig12, k_v, r_t_v, r_u_v,
-                 r_a_v, r_b_v, r_k_v):
+                 r_a_v, r_b_v, r_k_v, *, tpos, tpb):
     """Group commitments T,U + the whole sigma protocol + a_prime
     (curdleproof.go:116-143, samescalarargument.go:34-81). One 12-lane
     windowed scalar-mul covers every commitment leg."""
@@ -325,8 +317,9 @@ def _piece_sigma(state, RS, A, base_pts, dig12, k_v, r_t_v, r_u_v,
     b2 = curve.add(L(9), L(11))
 
     ten = _stack_points([R, S, t1_t, t2_t, t1_u, t2_u, a1, a2, b1, b2])
-    state = append_points_dev(state, SS_POINTS, ten)
-    state, alpha = challenge_fr(state, SS_ALPHA)
+    ts = strobe_dev.TState(state, tpos, tpb)
+    append_points_dev(ts, SS_POINTS, ten)
+    alpha = challenge_fr(ts, SS_ALPHA)
 
     z_k = fr.carry_to(fr.add(r_k_v, fr.mul(k_v, alpha)), REDUCED)
     z_t = fr.carry_to(fr.add(r_a_v, fr.mul(r_t_v, alpha)), REDUCED)
@@ -335,7 +328,7 @@ def _piece_sigma(state, RS, A, base_pts, dig12, k_v, r_t_v, r_u_v,
     a_prime = curve.add(A, curve.add(t1_t, t1_u))
     cm_pts = _stack_points([t1_t, t2_t, t1_u, t2_u, a1, a2, b1, b2])
     azz = _stack_points([a_prime, t2_t, t2_u])
-    return state, cm_pts, azz, z_k, z_t, z_u
+    return ts.st, cm_pts, azz, z_k, z_t, z_u
 
 
 @cached_jit
@@ -421,20 +414,25 @@ def prove_on_device(crs, Rs: List[Affine], Ss: List[Affine],
             rs_sv = curve.StackedVec.from_affine([Rs, Ss], pad_to=n)
             _rs_cache.clear()          # bound the cache to the live pair
             _rs_cache[rs_key] = rs_sv
-        state = transcript_to_device(transcript)
+        state, tpos, tpb = transcript_to_device(transcript)
 
     with profiling.span("dpf.sameperm_gpa"):
         digA = curve.scalars_to_digits(perm_as + rs_a_prime)
         state, A, B, bs, p, rs_b = _piece_sameperm(
-            state, table, digA, _point_rows([M])[0],
-            _scalar_rows(as_),
+            state, table, digA,
+            jnp.asarray(_point_rows([M])),
+            jnp.asarray(_scalar_rows(as_)),
             fr_const(list(perm) + [0] * (n - ell)),
             fr_const(perm_as + [0] * (n - ell)),
-            fr_const(rs_m), fr_const(rs_a_prime), M_gsum, ell=ell)
+            fr_const(rs_m), fr_const(rs_a_prime), M_gsum,
+            ell=ell, tpos=tpos, tpb=tpb)
+        tpos, tpb = strobe_dev.post_challenge_pos(SP_BETA)
 
         state, C, cs_full, r_b_plus_alpha, r_p, gp_alpha, gp_beta = \
             _piece_gpa1(state, table, B, bs, p, rs_b,
-                        fr_const([0] * ell + r_cs), ell=ell)
+                        fr_const([0] * ell + r_cs),
+                        ell=ell, tpos=tpos, tpb=tpb)
+        tpos, tpb = strobe_dev.post_challenge_pos(GP_BETA)
         binv = dp2._gamma_inv(gp_beta)
         CD, z, ds_full, diag, sane_gpa = _piece_gpa2(
             table, B, C, Gsum_Hsum, bs, cs_full, r_b_plus_alpha, r_p, p,
@@ -462,9 +460,11 @@ def prove_on_device(crs, Rs: List[Affine], Ss: List[Affine],
             crs._dev_h = hpt
         state, bcd, hcur, csd, dsd = dp2._ipa_setup(
             table, rows0, ones_n, diag, rs_v, rs_d, state, CD, z,
-            cs_full, ds_full, hpt)
+            cs_full, ds_full, hpt, tpos=tpos, tpb=tpb)
+        tpos, tpb = strobe_dev.post_challenge_pos(dp2.LABEL_BETA)
         state, ipa_blobs, ipa_gammas, csd, dsd = dp2.run_ipa_rounds(
-            state, table, rows0, hcur, ones_n, diag, csd, dsd, n)
+            state, tpos, tpb, table, rows0, hcur, ones_n, diag, csd, dsd, n)
+        tpos, tpb = strobe_dev.post_challenge_pos(dp2.LABEL_GAMMA)
         c0d, d0d = dp2._final_scalars(csd, dsd)
 
     with profiling.span("dpf.step3_sigma"):
@@ -475,7 +475,9 @@ def prove_on_device(crs, Rs: List[Affine], Ss: List[Affine],
             [r_t, r_u, k, k, r_t, r_u, r_a, r_b, r_k, r_k, r_a, r_b])
         state, cm_pts, azz, z_k, z_t, z_u = _piece_sigma(
             state, RS, A, base_pts, dig12, fr_scalar(k), fr_scalar(r_t),
-            fr_scalar(r_u), fr_scalar(r_a), fr_scalar(r_b), fr_scalar(r_k))
+            fr_scalar(r_u), fr_scalar(r_a), fr_scalar(r_b), fr_scalar(r_k),
+            tpos=tpos, tpb=tpb)
+        tpos, tpb = strobe_dev.post_challenge_pos(SS_ALPHA)
 
     with profiling.span("dpf.samemsm"):
         G = list(crs.gs) + list(crs.hs[: N_BLINDERS - 2]) + [crs.gt, crs.gu]
@@ -486,9 +488,12 @@ def prove_on_device(crs, Rs: List[Affine], Ss: List[Affine],
         sm_table = sm_sv.table()
         tu_bytes = _point_rows(T_prime + U_prime)
         state, b_atu, xd = dp2._sm_setup(
-            sm_table, fr_const(r_sm), state, azz, tu_bytes, fr_const(x))
+            sm_table, fr_const(r_sm), state, azz, jnp.asarray(tu_bytes),
+            fr_const(x), tpos=tpos, tpb=tpb)
+        tpos, tpb = strobe_dev.post_challenge_pos(dp2.SM_LABEL_ALPHA)
         state, sm_blobs, sm_gammas, xd = dp2.run_sm_rounds(
-            state, sm_table, xd, n)
+            state, tpos, tpb, sm_table, xd, n)
+        tpos, tpb = strobe_dev.post_challenge_pos(dp2.SM_LABEL_GAMMA)
         x0d = dp2._final_scalar(xd)
 
     with profiling.span("dpf.finalize"):
@@ -548,6 +553,6 @@ def prove_on_device(crs, Rs: List[Affine], Ss: List[Affine],
         r_u=[pt(sm_h[r][5]) for r in range(rounds)],
         x=scalar_of(np.asarray(x0h)[0]))
 
-    dp2._sync_host_transcript(transcript, sstate)
+    dp2._sync_host_transcript(transcript, sstate, tpos, tpb)
     return curdleproof.Proof(A_h, cm_t, cm_u, R_h, S_h, sp_proof,
                              ss_proof, sm_proof)

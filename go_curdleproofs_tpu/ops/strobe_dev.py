@@ -211,3 +211,244 @@ def get_and_append_challenge(s: SState, label: bytes):
     s1, c1 = jax.lax.while_loop(cond, body, (s0, c0))
     s1 = append_message(s1, label, c1)
     return s1, c1
+
+
+# ---------------------------------------------------------------------------
+# STATIC-POSITION engine.
+#
+# Every transcript absorb in the protocol has a STATIC length, and every
+# challenge ends with run_f + a fixed-layout re-absorption, so the STROBE
+# position/pos_begin at every point of the prover are trace-time constants
+# (the rejection-resampling loop re-enters at pos=32 every attempt). That
+# makes the whole duplex static-schedulable:
+#   * single absorbs become static-index slice XORs (no lax.cond, no
+#     dynamic_update_slice, keccak only where the layout crosses the rate);
+#   * BULK absorbs (k points/scalars under one label — the prover's ~1.5k
+#     sequential message chain) become ONE template scatter + ONE lax.scan
+#     over 166-byte rate blocks with a single keccak instance in the body.
+# The dynamic SState engine above remains for arbitrary-position use.
+
+
+class TState:
+    """Trace-time STROBE state: traced [200] int32 bytes + STATIC pos /
+    pos_begin (Python ints burned into the compiled program)."""
+
+    __slots__ = ("st", "pos", "pos_begin")
+
+    def __init__(self, st: jnp.ndarray, pos: int, pos_begin: int):
+        self.st = st
+        self.pos = int(pos)
+        self.pos_begin = int(pos_begin)
+
+    # -- primitives ---------------------------------------------------------
+
+    def _run_f(self) -> None:
+        st = self.st
+        st = st.at[self.pos].set(st[self.pos] ^ self.pos_begin)
+        st = st.at[self.pos + 1].set(st[self.pos + 1] ^ 0x04)
+        st = st.at[STROBE_R + 1].set(st[STROBE_R + 1] ^ 0x80)
+        self.st = keccak_dev.f1600(st.reshape(25, 8)).reshape(200)
+        self.pos = 0
+        self.pos_begin = 0
+
+    def _absorb(self, data) -> None:
+        """XOR `data` (traced [n] int32 or host bytes/np) at static pos."""
+        if isinstance(data, (bytes, bytearray)):
+            data = np.frombuffer(bytes(data), np.uint8).astype(np.int32)
+        n = data.shape[0]
+        off = 0
+        while off < n:
+            take = min(STROBE_R - self.pos, n - off)
+            seg = jnp.asarray(data[off:off + take])
+            p = self.pos
+            self.st = self.st.at[p:p + take].set(self.st[p:p + take] ^ seg)
+            self.pos += take
+            off += take
+            if self.pos == STROBE_R:
+                self._run_f()
+
+    def _begin_op(self, flags: int, force_f: bool) -> None:
+        old = self.pos_begin
+        self.pos_begin = self.pos + 1
+        self._absorb(np.array([old, flags], np.int32))
+        if force_f and self.pos != 0:
+            self._run_f()
+
+    def _squeeze(self, k: int) -> jnp.ndarray:
+        assert self.pos + k <= STROBE_R
+        p = self.pos
+        out = self.st[p:p + k]
+        self.st = self.st.at[p:p + k].set(0)
+        self.pos += k
+        return out
+
+    # -- Merlin layer -------------------------------------------------------
+
+    def append_message(self, label: bytes, message) -> None:
+        self._begin_op(FLAG_M | FLAG_A, False)
+        self._absorb(_const_bytes(label))
+        L = message.shape[0] if hasattr(message, "shape") else len(message)
+        self._absorb(_u32le(L))
+        self._begin_op(FLAG_A, False)
+        self._absorb(message)
+
+    def append_rows(self, label: bytes, rows) -> None:
+        """Absorb k equal-length messages under one label as ONE scatter +
+        ONE scan over rate blocks (rows: [k, L] traced or host np)."""
+        if rows.ndim == 1:
+            rows = rows[None]
+        k, L = rows.shape
+        traced = not isinstance(rows, np.ndarray)
+        template, tr_pos, pbs, pos1, pb1 = _bulk_layout(
+            self.pos, self.pos_begin, label, k, L,
+            const_rows=None if traced else rows)
+        if traced:
+            flat = jnp.asarray(template).at[jnp.asarray(tr_pos)].set(
+                rows.reshape(-1).astype(jnp.int32))
+        else:
+            flat = jnp.asarray(template)
+        self._absorb_stream(flat, int(template.shape[0]), pbs)
+        assert self.pos == pos1, (self.pos, pos1)
+        self.pos_begin = pb1   # pb evolution inside the stream is sim-tracked
+
+    def _absorb_stream(self, flat, n: int, pbs) -> None:
+        """Absorb a precomputed n-byte stream whose rate-crossing pos_begin
+        values `pbs` are known statically (scan-based; one keccak body)."""
+        off = 0
+        ci = 0
+        head = min(STROBE_R - self.pos, n)
+        p = self.pos
+        self.st = self.st.at[p:p + head].set(self.st[p:p + head]
+                                             ^ flat[:head])
+        self.pos += head
+        off += head
+        if self.pos == STROBE_R:
+            self.pos_begin = pbs[ci]
+            self._run_f()
+            ci += 1
+        nb = (n - off) // STROBE_R
+        if nb > 0:
+            blocks = flat[off:off + nb * STROBE_R].reshape(nb, STROBE_R)
+            pb_arr = jnp.asarray(np.array(pbs[ci:ci + nb], np.int32))
+
+            def body(st, xs):
+                block, pb = xs
+                st = st.at[:STROBE_R].set(st[:STROBE_R] ^ block)
+                st = st.at[STROBE_R].set(st[STROBE_R] ^ pb)
+                st = st.at[STROBE_R + 1].set(st[STROBE_R + 1] ^ 0x84)
+                return keccak_dev.f1600(st.reshape(25, 8)).reshape(200), None
+
+            self.st, _ = jax.lax.scan(body, self.st, (blocks, pb_arr))
+            ci += nb
+            off += nb * STROBE_R
+            self.pos = 0
+            self.pos_begin = 0
+        tail = n - off
+        if tail:
+            self.st = self.st.at[self.pos:self.pos + tail].set(
+                self.st[self.pos:self.pos + tail] ^ flat[off:])
+            self.pos += tail
+        # pos_begin across the stream is layout-dependent; the caller
+        # (append_rows) sets it from the layout sim.
+
+    def challenge_bytes32(self, label: bytes) -> jnp.ndarray:
+        self._begin_op(FLAG_M | FLAG_A, False)
+        self._absorb(_const_bytes(label))
+        self._absorb(_u32le(32))
+        self._begin_op(FLAG_I | FLAG_A | FLAG_C, force_f=True)
+        return self._squeeze(32)
+
+    def get_and_append_challenge(self, label: bytes) -> jnp.ndarray:
+        """Rejection-sampled canonical challenge; every attempt re-enters at
+        pos=32 / pos_begin=0, so the loop body has one static layout."""
+        c0 = self.challenge_bytes32(label)
+        assert (self.pos, self.pos_begin) == (32, 0)
+
+        def body(carry):
+            st, _ = carry
+            ts = TState(st, 32, 0)
+            c = ts.challenge_bytes32(label)
+            assert (ts.pos, ts.pos_begin) == (32, 0)
+            return ts.st, c
+
+        st1, c1 = jax.lax.while_loop(lambda cr: ~_lt_r(cr[1]), body,
+                                     (self.st, c0))
+        self.st = st1
+        self.pos, self.pos_begin = 32, 0
+        self.append_message(label, c1)
+        return c1
+
+
+def _bulk_layout(pos0: int, pb0: int, label: bytes, k: int, L: int,
+                 const_rows=None):
+    """Static layout of k Merlin messages: returns (template [N] int32,
+    traced-byte stream positions [k*L], pos_begin at each rate crossing,
+    final pos, final pos_begin). With const_rows, row bytes are baked into
+    the template instead (no traced positions)."""
+    lbl = np.frombuffer(label, np.uint8)
+    l4 = _u32le(L)
+    template = []
+    tr_pos = []
+    pbs = []
+    state = {"pos": pos0, "pb": pb0}
+
+    def emit(b):
+        template.append(int(b))
+        state["pos"] += 1
+        if state["pos"] == STROBE_R:
+            pbs.append(state["pb"])
+            state["pos"] = 0
+            state["pb"] = 0
+
+    for r in range(k):
+        # meta_ad(label, False)
+        old = state["pb"]
+        state["pb"] = state["pos"] + 1
+        emit(old)
+        emit(FLAG_M | FLAG_A)
+        for b in lbl:
+            emit(b)
+        for b in l4:           # meta_ad(u32le(L), more=True)
+            emit(b)
+        # ad(msg, False)
+        old = state["pb"]
+        state["pb"] = state["pos"] + 1
+        emit(old)
+        emit(FLAG_A)
+        for c in range(L):
+            if const_rows is None:
+                tr_pos.append(len(template))
+                emit(0)
+            else:
+                emit(int(const_rows[r, c]))
+    return (np.asarray(template, np.int32), np.asarray(tr_pos, np.int32),
+            pbs, state["pos"], state["pb"])
+
+
+def _sim_msgs_pos(pos: int, pb: int, msgs) -> tuple:
+    """Advance (pos, pos_begin) across append_message calls [(label_len,
+    msg_len), ...] — the host-side twin of the static layout."""
+    def adv(n):
+        nonlocal pos, pb
+        while n:
+            take = min(STROBE_R - pos, n)
+            pos += take
+            n -= take
+            if pos == STROBE_R:
+                pos, pb = 0, 0
+
+    for (ll, ml) in msgs:
+        pb = pos + 1
+        adv(2 + ll + 4)
+        pb = pos + 1
+        adv(2 + ml)
+    return pos, pb
+
+
+def post_challenge_pos(label: bytes) -> tuple:
+    """(pos, pos_begin) right after get_and_append_challenge(label): the
+    squeeze always exits at pos=32/pb=0, then the accepted challenge is
+    re-absorbed — a static function of the label alone. This is what lets
+    the host orchestrator thread static positions between device pieces
+    without fetching transcript state."""
+    return _sim_msgs_pos(32, 0, [(len(label), 32)])

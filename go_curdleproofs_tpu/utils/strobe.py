@@ -8,9 +8,61 @@ are implemented: meta-AD, AD, PRF, KEY.
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 from . import keccak
 
 STROBE_R = 166  # rate in bytes: 200 - 2*security/8 - 2 = 166 for sec=128
+
+# Native bulk transcript ops (go_curdleproofs_tpu/native/strobe.c): one C
+# call absorbs a whole label-group of messages or squeezes a vector of
+# rejection-sampled challenges — the verifier replays ~3k messages/proof.
+_nat = None
+if os.environ.get("CURDLE_NATIVE_STROBE", "1") == "1":
+    try:
+        _so = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "native", "libcurdle_native.so")
+        _lib = ctypes.CDLL(_so)
+        _lib.merlin_append_msgs.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32]
+        _lib.merlin_append_msgs.restype = None
+        _lib.transcript_challenges.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32]
+        _lib.transcript_challenges.restype = None
+        _nat = _lib
+    except (OSError, AttributeError):
+        _nat = None
+
+
+def has_native_bulk() -> bool:
+    return _nat is not None
+
+
+def _native_call(strobe: "Strobe128", fn, *args) -> None:
+    """Run a native op in-place on the strobe's state + position fields."""
+    buf = (ctypes.c_char * 200).from_buffer(strobe.state)
+    pos3 = (ctypes.c_int32 * 3)(strobe.pos, strobe.pos_begin,
+                                strobe.cur_flags)
+    fn(buf, pos3, *args)
+    strobe.pos, strobe.pos_begin, strobe.cur_flags = (
+        int(pos3[0]), int(pos3[1]), int(pos3[2]))
+
+
+def native_append_msgs(strobe: "Strobe128", label: bytes, msgs: bytes,
+                       msg_len: int, count: int) -> None:
+    _native_call(strobe, _nat.merlin_append_msgs, label, len(label),
+                 msgs, msg_len, count)
+
+
+def native_challenges(strobe: "Strobe128", label: bytes, count: int) -> bytes:
+    out = ctypes.create_string_buffer(32 * count)
+    _native_call(strobe, _nat.transcript_challenges, label, len(label),
+                 out, count)
+    return out.raw
 
 FLAG_I = 1
 FLAG_A = 1 << 1
@@ -45,16 +97,16 @@ class Strobe128:
         self.pos_begin = 0
 
     def _absorb(self, data: bytes) -> None:
-        # chunked XOR into the rate portion of the state
+        # chunked XOR into the rate portion of the state (whole-chunk int
+        # XOR: ~10x the per-byte Python loop)
         i = 0
         n = len(data)
         while i < n:
             take = min(STROBE_R - self.pos, n - i)
             p = self.pos
-            chunk = data[i: i + take]
-            st = self.state
-            for j in range(take):
-                st[p + j] ^= chunk[j]
+            x = int.from_bytes(self.state[p:p + take], "little") ^ \
+                int.from_bytes(data[i:i + take], "little")
+            self.state[p:p + take] = x.to_bytes(take, "little")
             self.pos += take
             i += take
             if self.pos == STROBE_R:
