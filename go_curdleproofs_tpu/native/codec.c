@@ -340,3 +340,113 @@ int g1_compress(const unsigned char *xb, const unsigned char *yb,
   out[0] |= fe_lex_largest(&y) ? 0xa0 : 0x80;
   return 0;
 }
+
+/* ---- host group-op fast path (utils/field_host.py fallback is Python
+ * bignum; these serve the verifier's transcript-replay group ops and the
+ * MSM window combine — gnark's assembly-backed G1Jac equivalents) ---- */
+
+/* p-2, big-endian (Fermat inversion exponent) */
+static const unsigned char EXP_INV[48] = {
+    0x1a, 0x01, 0x11, 0xea, 0x39, 0x7f, 0xe6, 0x9a, 0x4b, 0x1b, 0xa7, 0xb6,
+    0x43, 0x4b, 0xac, 0xd7, 0x64, 0x77, 0x4b, 0x84, 0xf3, 0x85, 0x12, 0xbf,
+    0x67, 0x30, 0xd2, 0xa0, 0xf6, 0xb0, 0xf6, 0x24, 0x1e, 0xab, 0xff, 0xfe,
+    0xb1, 0x53, 0xff, 0xff, 0xb9, 0xfe, 0xff, 0xff, 0xff, 0xff, 0xaa, 0xa9};
+
+static void jac_set_inf(jac *o) {
+  memset(o, 0, sizeof *o);
+  memcpy(o->x.l, RONE, sizeof RONE);
+  memcpy(o->y.l, RONE, sizeof RONE);
+}
+
+static int jac_to_affine_bytes(const jac *p, unsigned char *out /*96*/) {
+  if (fe_is_zero(&p->z)) return 1;
+  fe zi, zi2, t;
+  fe_pow_be_bits(&zi, &p->z, EXP_INV, 48);
+  fe_sqr(&zi2, &zi);
+  fe_mul(&t, &p->x, &zi2);
+  fe_to_bytes_be(out, &t);
+  fe_mul(&t, &p->y, &zi2);
+  fe_mul(&t, &t, &zi);
+  fe_to_bytes_be(out + 48, &t);
+  return 0;
+}
+
+/* pt/out: 96-byte x||y big-endian; returns 1 when the result is infinity. */
+int g1_mul_host(const unsigned char *pt, int32_t pt_inf,
+                const unsigned char *k_be, int32_t k_len,
+                unsigned char *out) {
+  if (pt_inf) return 1;
+  fe x, y;
+  fe_from_bytes_be(&x, pt);
+  fe_from_bytes_be(&y, pt + 48);
+  jac acc;
+  jac_set_inf(&acc);
+  int started = 0;
+  for (int i = 0; i < k_len * 8; i++) {
+    if (started) jac_double(&acc, &acc);
+    if ((k_be[i / 8] >> (7 - (i % 8))) & 1) {
+      if (!started) {
+        acc.x = x;
+        acc.y = y;
+        memcpy(acc.z.l, RONE, sizeof RONE);
+        started = 1;
+      } else {
+        jac_add_affine(&acc, &acc, &x, &y);
+      }
+    }
+  }
+  if (!started) return 1;
+  return jac_to_affine_bytes(&acc, out);
+}
+
+int g1_add_host(const unsigned char *p, int32_t p_inf,
+                const unsigned char *q, int32_t q_inf, unsigned char *out) {
+  if (p_inf && q_inf) return 1;
+  if (p_inf) {
+    memcpy(out, q, 96);
+    return 0;
+  }
+  if (q_inf) {
+    memcpy(out, p, 96);
+    return 0;
+  }
+  jac a;
+  fe_from_bytes_be(&a.x, p);
+  fe_from_bytes_be(&a.y, p + 48);
+  memcpy(a.z.l, RONE, sizeof RONE);
+  fe qx, qy;
+  fe_from_bytes_be(&qx, q);
+  fe_from_bytes_be(&qy, q + 48);
+  jac_add_affine(&a, &a, &qx, &qy);
+  return jac_to_affine_bytes(&a, out);
+}
+
+/* MSB-first Horner combine: acc = 2^wbits * acc + S_w over m window sums
+ * (wins: m rows of 96-byte x||y; infs[w] nonzero = skip row). Returns 1
+ * when the total is infinity. */
+int g1_combine_windows_host(const unsigned char *wins,
+                            const unsigned char *infs, int32_t m,
+                            int32_t wbits, unsigned char *out) {
+  jac acc;
+  jac_set_inf(&acc);
+  int started = 0;
+  for (int w = 0; w < m; w++) {
+    if (started)
+      for (int b = 0; b < wbits; b++) jac_double(&acc, &acc);
+    if (!infs[w]) {
+      fe x, y;
+      fe_from_bytes_be(&x, wins + (size_t)w * 96);
+      fe_from_bytes_be(&y, wins + (size_t)w * 96 + 48);
+      if (!started) {
+        acc.x = x;
+        acc.y = y;
+        memcpy(acc.z.l, RONE, sizeof RONE);
+        started = 1;
+      } else {
+        jac_add_affine(&acc, &acc, &x, &y);
+      }
+    }
+  }
+  if (!started) return 1;
+  return jac_to_affine_bytes(&acc, out);
+}

@@ -28,6 +28,40 @@ G1_GEN_Y = 0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03
 Affine = Optional[Tuple[int, int]]  # None == point at infinity
 G1_GEN: Affine = (G1_GEN_X, G1_GEN_Y)
 
+# Native (C) host group ops — go_curdleproofs_tpu/native/codec.c, the
+# equivalent of gnark-crypto's assembly G1Jac. Python bignum fallback below.
+_nat = None
+_ct = None
+if __import__("os").environ.get("CURDLE_NATIVE_G1", "1") == "1":
+    try:
+        import ctypes as _ct
+        import os as _os
+        _so = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "native", "libcurdle_native.so")
+        _lib = _ct.CDLL(_so)
+        _lib.g1_mul_host.argtypes = [_ct.c_char_p, _ct.c_int32, _ct.c_char_p,
+                                     _ct.c_int32, _ct.c_char_p]
+        _lib.g1_mul_host.restype = _ct.c_int
+        _lib.g1_add_host.argtypes = [_ct.c_char_p, _ct.c_int32, _ct.c_char_p,
+                                     _ct.c_int32, _ct.c_char_p]
+        _lib.g1_add_host.restype = _ct.c_int
+        _lib.g1_combine_windows_host.argtypes = [
+            _ct.c_char_p, _ct.c_char_p, _ct.c_int32, _ct.c_int32,
+            _ct.c_char_p]
+        _lib.g1_combine_windows_host.restype = _ct.c_int
+        _nat = _lib
+    except (OSError, AttributeError):
+        _nat = None
+
+
+def _pt96(pt: Tuple[int, int]) -> bytes:
+    return pt[0].to_bytes(48, "big") + pt[1].to_bytes(48, "big")
+
+
+def _pt_from96(raw: bytes) -> Tuple[int, int]:
+    return (int.from_bytes(raw[:48], "big"), int.from_bytes(raw[48:96], "big"))
+
 
 # -- Fr / Fp helpers --------------------------------------------------------
 
@@ -114,6 +148,11 @@ def g1_add(p1: Affine, p2: Affine) -> Affine:
         return p2
     if p2 is None:
         return p1
+    if _nat is not None:
+        out = _ct.create_string_buffer(96)
+        if _nat.g1_add_host(_pt96(p1), 0, _pt96(p2), 0, out):
+            return None
+        return _pt_from96(out.raw)
     x1, y1 = p1
     x2, y2 = p2
     if x1 == x2:
@@ -198,6 +237,12 @@ def g1_mul(pt: Affine, k: int) -> Affine:
         raise ValueError("negative scalar")
     if pt is None or k == 0:
         return None
+    if _nat is not None:
+        kb = k.to_bytes(max(32, (k.bit_length() + 7) // 8), "big")
+        out = _ct.create_string_buffer(96)
+        if _nat.g1_mul_host(_pt96(pt), 0, kb, len(kb), out):
+            return None
+        return _pt_from96(out.raw)
     acc: _JacP = (1, 1, 0)
     for bit in bin(k)[2:]:
         acc = _jac_double(acc)
@@ -212,8 +257,22 @@ def g1_combine_windows(windows: List[Affine], window_bits: int = 4) -> Affine:
     The narrow, inherently serial tail of the device MSM (the reference's
     Pippenger window combine, inside gnark MultiExp): ~252 doublings + 64
     mixed adds on SINGLE points. On the TPU that chain is issue-bound tiny-
-    batch work (~300 ms per program); in host Jacobian bignum it is ~1 ms.
-    """
+    batch work (~300 ms per program); one native C call (codec.c) does the
+    whole chain in ~50us (Python Jacobian bignum fallback: ~1 ms)."""
+    if _nat is not None:
+        m = len(windows)
+        buf = bytearray(96 * m)
+        infs = bytearray(m)
+        for i, w in enumerate(windows):
+            if w is None:
+                infs[i] = 1
+            else:
+                buf[96 * i:96 * (i + 1)] = _pt96(w)
+        out = _ct.create_string_buffer(96)
+        if _nat.g1_combine_windows_host(bytes(buf), bytes(infs), m,
+                                        window_bits, out):
+            return None
+        return _pt_from96(out.raw)
     acc: _JacP = (1, 1, 0)
     for w in windows:
         for _ in range(window_bits):
