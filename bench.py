@@ -5,19 +5,41 @@ Baseline (BASELINE.md, Ryzen 7 3800XT 16-thread):
   verify n in {60,124,252,508}: 12.0 / 12.3 / 15.3 / 20.8 ms
 
 Prints ONE JSON line per metric (stdout); the HEADLINE metric
-(shuffle_prove_n508_latency) is the LAST line. Knobs:
+(shuffle_prove_n508_latency) is the LAST line.
+
+Each phase runs in its own SUBPROCESS:
+  * per-phase kernel-mode selection — the fused Mosaic kernels
+    (CURDLE_RNS_KERNEL=1) are ~3.3x faster on the MSM wide phase but cost
+    20-30 min of deferred compile per shape through this TPU tunnel, so a
+    phase runs kernel-mode iff scripts/prewarm.py has previously populated
+    .exe_cache/ with that phase's kernel-mode executables (recorded in
+    .exe_cache/prewarm_manifest.json);
+  * an honest cold_start_s metric: the headline phase reports fresh-process
+    time from exec to the first completed prove (executable loads included).
+
+Knobs:
   BENCH_ELL=508       headline size
   BENCH_REPS=3        headline prove reps
   BENCH_SWEEP=0       skip the {60,124,252} sweep (on by default)
+  BENCH_EXTRAS=0      skip msm/batch-verify/scaling extras (on by default)
+  BENCH_SUBPROC=0     run everything in-process (single mode, no isolation)
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
+_T0 = time.time()
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+MANIFEST = os.path.join(
+    os.environ.get("CURDLE_EXE_CACHE", os.path.join(ROOT, ".exe_cache")),
+    "prewarm_manifest.json")
 
 BASELINES = {
     "prove": {60: 96.4, 124: 150.2, 252: 245.6, 508: 412.5},
@@ -36,7 +58,33 @@ def emit(metric, value, unit, baseline=None, rate=False):
     print(json.dumps(rec), flush=True)
 
 
-def bench_size(ell, reps, emit_lines=True):
+def _manifest() -> dict:
+    try:
+        with open(MANIFEST) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _kernel_env(phase_key: str) -> dict:
+    """Phase env: fused-kernel modes turn on iff prewarm recorded this
+    phase's kernel-mode executables as cached (otherwise a single cold
+    Mosaic compile would stall the bench for ~20-30 min). Two tiers:
+    kernel_phases = kernels everywhere; vkernel_phases = verifier's
+    final-MSM programs only (curve.kernel_scope)."""
+    env = dict(os.environ)
+    m = _manifest()
+    env["CURDLE_RNS_KERNEL"] = \
+        "1" if phase_key in m.get("kernel_phases", []) else "0"
+    env["CURDLE_VERIFY_KERNEL"] = \
+        "1" if phase_key in m.get("vkernel_phases", []) else "0"
+    return env
+
+
+# ---------------------------------------------------------------- phases
+
+
+def bench_size(ell, reps, cold_metric=False):
     from go_curdleproofs_tpu.models import curdleproof
     from go_curdleproofs_tpu.utils.rand import Rand
 
@@ -57,8 +105,11 @@ def bench_size(ell, reps, emit_lines=True):
         return Ts, Us, M, proof
 
     t0 = time.time()
-    Ts, Us, M, proof = one_prove()              # warmup (compiles)
+    Ts, Us, M, proof = one_prove()              # warmup (compiles/loads)
     print(f"# ell={ell} warmup prove: {time.time()-t0:.1f}s", file=sys.stderr)
+    if cold_metric:
+        # fresh-process exec -> first full prove (loads + uploads included)
+        emit("cold_start_s", time.time() - _T0, "s")
 
     t0 = time.time()
     ok = curdleproof.verify(proof, crs, Rs, Ss, Ts, Us, M, Rand(1))
@@ -81,38 +132,36 @@ def bench_size(ell, reps, emit_lines=True):
     print(f"# ell={ell} prove times (ms): {[round(t*1e3,1) for t in times]}",
           file=sys.stderr)
 
-    if emit_lines:
-        emit(f"shuffle_prove_n{ell}_latency", prove_ms, "ms",
-             BASELINES["prove"].get(ell))
-        emit(f"shuffle_verify_n{ell}_latency", verify_ms, "ms",
-             BASELINES["verify"].get(ell))
+    emit(f"shuffle_verify_n{ell}_latency", verify_ms, "ms",
+         BASELINES["verify"].get(ell))
+    emit(f"shuffle_prove_n{ell}_latency", prove_ms, "ms",
+         BASELINES["prove"].get(ell))
     return prove_ms, verify_ms
 
 
-def bench_msm(n=1024, jobs=8):
-    """Sustained device MSM throughput (BASELINE.json 'MSM points/s/chip'):
-    a persistent device-resident base vector (table built once, as in the
+def bench_msm(n=4096, reps=5):
+    """Sustained device MSM throughput (BASELINE.json 'MSM points/s/chip')
+    over n DISTINCT device-resident bases (table built once, as in the
     prover's folding arguments and gnark's own MultiExp benchmark loop),
-    `jobs` independent MSMs per dispatch, fresh scalars each call."""
+    fresh scalars each rep (digit decomposition included in the timing)."""
     import random
 
     from go_curdleproofs_tpu.ops import curve
     from go_curdleproofs_tpu.utils import field_host as fh
+    from go_curdleproofs_tpu.utils.rand import Rand
 
+    rand = Rand(0x5EED)
+    pts = rand.get_g1s(n)                      # n distinct points
     random.seed(17)
-    base = [fh.g1_mul(fh.G1_GEN, random.randrange(1, fh.R))
-            for _ in range(64)]
-    pts = [base[i % 64] for i in range(n)]
     sv = curve.StackedVec.from_affine([pts])
-    scs = [[random.randrange(fh.R) for _ in range(n)] for _ in range(jobs)]
-    run = lambda: sv.msm_many([[(0, sc, 0)] for sc in scs])
-    run()                                      # warmup (compiles)
-    reps = 5
+    scs = [[random.randrange(fh.R) for _ in range(n)] for _ in range(2)]
+    for sc in scs:
+        sv.msm_many([[(0, sc, 0)]])            # warmup (compiles/loads)
     t0 = time.time()
-    for _ in range(reps):
-        run()
+    for i in range(reps):
+        sv.msm_many([[(0, scs[i % 2], 0)]])
     dt = (time.time() - t0) / reps
-    emit("msm_points_per_s_chip", jobs * n / dt, "points/s")
+    emit("msm_points_per_s_chip", n / dt, "points/s")
 
 
 def bench_batch_verify(batch=8):
@@ -145,39 +194,91 @@ def bench_batch_verify(batch=8):
          rate=True)
 
 
+# ---------------------------------------------------------- orchestration
+
+
+def _run_phase(argv, phase_key, timeout=3600):
+    """Run one bench phase as a subprocess: phase-scoped kernel mode and a
+    fresh process (honest cold-start, isolated jit caches). Child stdout
+    (metric JSON lines) is forwarded verbatim."""
+    cmd = [sys.executable, os.path.abspath(__file__)] + argv
+    try:
+        out = subprocess.run(cmd, env=_kernel_env(phase_key), stdout=subprocess.PIPE,
+                             timeout=timeout, cwd=ROOT).stdout.decode()
+    except subprocess.TimeoutExpired:
+        print(f"# phase {argv} timed out", file=sys.stderr)
+        return []
+    lines = []
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            print(line, flush=True)
+            lines.append(json.loads(line))
+    return lines
+
+
 def main():
     """Headline first so a harness timeout still captures the headline
     metrics. Compiled executables persist across processes via the
     ops/exe_cache serialized-executable store (.exe_cache/), so only the
-    first-ever run pays tunnel compiles. BENCH_SWEEP=0 skips the
-    small-size sweep; BENCH_EXTRAS=0 skips the msm/batch-verify extras."""
+    first-ever run pays tunnel compiles (scripts/prewarm.py prepays them)."""
     ell = int(os.environ.get("BENCH_ELL", "508"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     sweep = os.environ.get("BENCH_SWEEP", "1") == "1"
     extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
 
-    prove_ms, verify_ms = bench_size(ell, reps=reps, emit_lines=False)
-    emit(f"shuffle_verify_n{ell}_latency", verify_ms, "ms",
-         BASELINES["verify"].get(ell))
-    emit(f"shuffle_prove_n{ell}_latency", prove_ms, "ms",
-         BASELINES["prove"].get(ell))
+    if len(sys.argv) > 1:               # child: run one phase in-process
+        phase = sys.argv[1]
+        if phase == "--size":
+            e = int(sys.argv[2])
+            bench_size(e, reps if e == ell else 1, cold_metric=(e == ell))
+        elif phase == "--msm":
+            bench_msm()
+        elif phase == "--batch":
+            bench_batch_verify(int(sys.argv[2]))
+        return
 
+    if os.environ.get("BENCH_SUBPROC", "1") != "1":   # in-process fallback
+        bench_size(ell, reps, cold_metric=True)
+        if extras:
+            bench_msm()
+            bench_batch_verify(8)
+            bench_batch_verify(32)
+        if sweep:
+            for e in (60, 124, 252):
+                if e != ell:
+                    bench_size(e, reps=1)
+        return
+
+    headline = _run_phase(["--size", str(ell)], f"size{ell}")
     if extras:
-        bench_msm()
-        bench_batch_verify(8)
-        bench_batch_verify(32)
+        _run_phase(["--msm"], "msm")
+        _run_phase(["--batch", "8"], "batch8")
+        _run_phase(["--batch", "32"], "batch32")
     if sweep:
         for e in (60, 124, 252):
             if e != ell:
-                bench_size(e, reps=1)
-
-    from go_curdleproofs_tpu.utils import profiling
-    if profiling.ENABLED:
-        print(profiling.report(), file=sys.stderr)
+                _run_phase(["--size", str(e)], f"size{e}")
+    if extras:
+        # multi-device scaling efficiency (virtual CPU mesh; the sharding
+        # path the driver's dryrun_multichip also exercises)
+        env = dict(os.environ)
+        env["CURDLE_EXE_CACHE_ENABLE"] = "0"
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "scripts/scaling_eff.py")],
+                env=env, stdout=subprocess.PIPE, timeout=1800,
+                cwd=ROOT).stdout.decode()
+            for line in out.splitlines():
+                if line.strip().startswith("{"):
+                    print(line.strip(), flush=True)
+        except subprocess.TimeoutExpired:
+            print("# scaling phase timed out", file=sys.stderr)
 
     # headline LAST (driver parses the final JSON line)
-    emit(f"shuffle_prove_n{ell}_latency", prove_ms, "ms",
-         BASELINES["prove"].get(ell))
+    for rec in headline:
+        if rec["metric"] == f"shuffle_prove_n{ell}_latency":
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -33,10 +33,12 @@ is the same group-law total. Scalars merge per-key mod r.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 from ..ops import curve
 from ..utils import field_host as fh
+from ..utils.codec import LazyPoint, point_is_infinity, resolve_point
 from ..utils.field_host import Affine
 from ..utils.rand import Rand
 
@@ -44,10 +46,15 @@ from ..utils.rand import Rand
 LinComb = Sequence[Tuple[Affine, int]]
 Commitment = Union[Affine, LinComb]
 
+_VERIFY_KERNEL = os.environ.get("CURDLE_VERIFY_KERNEL", "0")
+
+
+def _verify_kernel() -> bool:
+    return _VERIFY_KERNEL == "1"
+
 
 def as_terms(c: Commitment, coeff: int = 1) -> List[Tuple[Affine, int]]:
     """Normalize a point-or-lincomb to a coeff-scaled term list."""
-    from ..utils.codec import LazyPoint
     if c is None:
         return []
     if isinstance(c, (tuple, LazyPoint)):  # a single point
@@ -73,11 +80,13 @@ class MsmAccumulator:
         self._static = static_bases
 
     def _bump(self, base: Affine, scalar: int) -> None:
-        from ..utils.codec import point_is_infinity
         if point_is_infinity(base):  # infinity contributes nothing
             return
-        s = (self._base_scalar.get(base, 0) + scalar) % fh.R
-        self._base_scalar[base] = s
+        # scalars accumulate UNREDUCED (products are ~510 bits; sums stay
+        # well under Python bignum limb growth) — one % r at verify()
+        # instead of a division per element (the verifier bumps ~5k
+        # elements per proof; this loop is the host-replay hot path)
+        self._base_scalar[base] = self._base_scalar.get(base, 0) + scalar
 
     def accumulate_check(self, c: Commitment, x: Sequence[int],
                          v: Sequence[Affine], rand: Rand) -> None:
@@ -88,9 +97,12 @@ class MsmAccumulator:
         if len(v) != len(x):
             raise ValueError("x and v must have the same length")
         alpha = rand.get_fr()
+        bs = self._base_scalar
+        get = bs.get
         for xi, vi in zip(x, v):
-            self._bump(vi, alpha * xi)
-        from ..utils.codec import LazyPoint
+            if type(vi) is tuple or (vi is not None
+                                     and not vi.is_infinity):
+                bs[vi] = get(vi, 0) + alpha * xi
         if c is None or isinstance(c, (tuple, LazyPoint)):
             self._bump(c, -alpha)
         else:
@@ -101,7 +113,6 @@ class MsmAccumulator:
         """Partition accumulated bases into (static-row scalar vector,
         dynamic bases, dynamic scalars). Only host Affine tuples can route
         to the static row (LazyPoints decode fresh per proof)."""
-        from ..utils.codec import resolve_point
         st = self._static
         static_sc = [0] * (st.sv.width if st else 0)
         dyn_b: List[Affine] = []
@@ -122,14 +133,26 @@ class MsmAccumulator:
 
         LazyPoint bases resolve here — ONE batched device decompression
         for every deferred point of the verification (or batch). CRS bases
-        ride the cached static table; everything else is one fresh MSM."""
+        ride the cached static table; everything else is one fresh MSM.
+
+        CURDLE_VERIFY_KERNEL=1 runs the final-MSM programs with the fused
+        Pallas kernels (curve.kernel_scope) while the rest of the process
+        (notably the prover) stays on plain XLA — only the verifier's ~2
+        Mosaic shapes per size need prewarming (scripts/prewarm.py)."""
         if not self._base_scalar:
             return True
         static_sc, dyn_b, dyn_s = self._split_static()
-        total = None
-        if dyn_b:
-            total = curve.msm(dyn_b, dyn_s)
-        if static_sc is not None:
-            (st_part,) = self._static.sv.msm_many([[(0, static_sc, 0)]])
-            total = fh.g1_add(total, st_part)
+        with curve.kernel_scope(_verify_kernel()):
+            if static_sc is not None and dyn_b:
+                # the common case: ONE program computes the static row off
+                # its cached table + the per-proof rows off an in-program
+                # table, combines window sums, runs one Horner, one fetch
+                total = curve.msm_with_static(
+                    self._static.sv, static_sc, dyn_b, dyn_s)
+            elif dyn_b:
+                total = curve.msm(dyn_b, dyn_s)
+            elif static_sc is not None:
+                (total,) = self._static.sv.msm_many([[(0, static_sc, 0)]])
+            else:
+                return True
         return total is None

@@ -78,6 +78,7 @@ def _mul6(avec, bvec):
 _RNS_KERNEL_MODE = os.environ.get("CURDLE_RNS_KERNEL", "auto")
 _rns_kernel_on = None
 _kernel_disable = 0
+_kernel_force = 0
 
 
 class _xla_point_ops:
@@ -98,9 +99,38 @@ class _xla_point_ops:
         _kernel_disable -= 1
 
 
+class kernel_scope:
+    """Trace-time scope forcing the fused Pallas point kernels ON for the
+    programs traced inside it, regardless of CURDLE_RNS_KERNEL.
+
+    The per-call-site granularity is what makes kernel mode SHIPPABLE on
+    this backend: a Mosaic shape costs a 20-30 min deferred compile
+    through the tunnel, and the one-fetch prover instantiates ~15 shapes —
+    but the verifier's final accumulator MSM needs only ~2 per size. The
+    verifier (models/msm_accumulator.py) wraps just its MSM dispatches, so
+    those shapes can be prewarmed (scripts/prewarm.py --vkernel) without
+    paying for the prover's. Program names differ per mode
+    ("msm_rows_pts_*" vs "msm_rows_*"), so mixed modes never collide in
+    the executable cache. _xla_point_ops (the tree-reduce interior) still
+    wins over the scope."""
+
+    def __init__(self, on: bool = True):
+        self.on = on
+
+    def __enter__(self):
+        global _kernel_force
+        if self.on:
+            _kernel_force += 1
+
+    def __exit__(self, *exc):
+        global _kernel_force
+        if self.on:
+            _kernel_force -= 1
+
+
 def _rns_kernel() -> bool:
-    """Fused RNS Pallas point kernels: OPT-IN via CURDLE_RNS_KERNEL=1
-    (rns backend only).
+    """Fused RNS Pallas point kernels: OPT-IN via CURDLE_RNS_KERNEL=1, or
+    per-call-site via kernel_scope (rns backend only).
 
     Default OFF even on TPU: the Mosaic kernels execute the wide phase
     ~3.3x faster than the XLA graphs, but on this backend every distinct
@@ -108,11 +138,13 @@ def _rns_kernel() -> bool:
     through the tunnel (vs ~1-3 min for the plain-XLA programs), and the
     one-fetch prover instantiates ~15 such shapes. With the
     executable cache (ops/exe_cache.py) a fully prewarmed kernel-mode
-    cache is strictly faster — set CURDLE_RNS_KERNEL=1 after running a
-    prewarm pass when the compile budget allows."""
+    cache is strictly faster — scripts/prewarm.py prepays the compiles
+    and bench.py flips the prewarmed phases on via the manifest."""
     global _rns_kernel_on
     if _kernel_disable:
         return False
+    if _kernel_force:
+        return True
     if _rns_kernel_on is None:
         if _RNS_KERNEL_MODE in ("0", "1"):
             _rns_kernel_on = _RNS_KERNEL_MODE == "1"
@@ -740,6 +772,61 @@ def build_table_device(points: PointVec) -> PointVec:
     per StackedVec)."""
     return _compiled("build_table",
                      lambda p: extend_table_glv(_build_table(p)))(points)
+
+
+def _retag(p: PointVec) -> PointVec:
+    return PointVec(Fp(p.x.limbs, REDUCED), Fp(p.y.limbs, REDUCED),
+                    Fp(p.z.limbs, REDUCED))
+
+
+def _msm_combined(st_table, st_dig, dyn_pv, dyn_dig):
+    """The verifier's whole final MSM as ONE device program: the static
+    (CRS) row's windows off its CACHED multiples table + the per-proof
+    rows' windows off an in-program table build, window sums combined
+    POINTWISE, one Horner, one output point.
+
+    Replaces the two-program static+dynamic split (whose second serial
+    33-step Horner and extra fetch cost more than the saved table build)
+    and the reference's full per-verify table rebuild
+    (msmaccumulator.go:49-64 -> gnark MultiExp)."""
+    rows0 = jnp.zeros(1, jnp.int32)
+    k = dyn_pv.x.limbs.shape[0]
+    ws = msm_rows_windows_from_table(st_table, st_dig, rows0)      # [1, W]
+    dt = extend_table_glv(_build_table(dyn_pv))                    # [9,k,2n]
+    wd = msm_rows_windows_from_table(
+        dt, dyn_dig, jnp.arange(k, dtype=jnp.int32))               # [k, W]
+    with _xla_point_ops():
+        acc = _retag(ws)
+        for i in range(k):
+            acc = add(acc, _retag(pmap_coords(lambda t, i=i: t[i:i + 1],
+                                              wd)))
+    return _horner(acc)                                            # [1]
+
+
+def msm_with_static(static_sv: "StackedVec", static_scalars: Sequence[int],
+                    points: Sequence[Affine],
+                    scalars: Sequence[int]) -> Affine:
+    """<static_scalars, static_sv row 0> + <scalars, points> in ONE device
+    program + ONE fetch (see _msm_combined). Wide dynamic sets run as
+    4096-lane rows of the same program."""
+    n_d = len(points)
+    row_w = _pad_fine(n_d) if n_d <= 4096 else 4096
+    k = -(-n_d // row_w)
+    pts = list(points) + [None] * (k * row_w - n_d)
+    sc = [int(s) % fh.R for s in scalars] + [0] * (k * row_w - n_d)
+    dyn_pv = pmap_coords(lambda t: t.reshape(k, row_w, -1),
+                         from_affine_host(pts))
+    dyn_dig = np.stack([scalars_to_digits(sc[i * row_w:(i + 1) * row_w])
+                        for i in range(k)])                  # [k, 2w, W]
+    st_dig = scalars_to_digits(
+        [int(s) % fh.R for s in static_scalars]
+        + [0] * (static_sv.width - len(static_scalars)))[None]
+    mode = "k" if _rns_kernel() else "x"
+    out = _compiled(f"msm_comb_{mode}{static_sv.width}x{k}x{row_w}",
+                    _msm_combined)(
+        static_sv.table(), jnp.asarray(st_dig), dyn_pv,
+        jnp.asarray(dyn_dig))
+    return to_affine_host(out)[0]
 
 
 def msm_rows_device(points: PointVec, digits: jnp.ndarray,

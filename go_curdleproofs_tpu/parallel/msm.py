@@ -62,14 +62,22 @@ def _sharded_msm_body(x, y, z, digits):
     return windows.x.limbs, windows.y.limbs, windows.z.limbs
 
 
+_sharded_cache = {}
+
+
 def make_sharded_msm(mesh: Mesh):
-    """Build a jitted sharded-MSM executable over `mesh`'s AXIS."""
-    fn = jax.shard_map(
-        _sharded_msm_body, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(), P(), P()),
-        check_vma=False)
-    return jax.jit(fn)
+    """Build a jitted sharded-MSM executable over `mesh`'s AXIS (cached per
+    device set — a fresh jit per call would re-trace every MSM)."""
+    key = tuple(d.id for d in mesh.devices.flat)
+    fn = _sharded_cache.get(key)
+    if fn is None:
+        fn = jax.jit(jax.shard_map(
+            _sharded_msm_body, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(), P(), P()),
+            check_vma=False))
+        _sharded_cache[key] = fn
+    return fn
 
 
 def sharded_msm(points: Sequence[Affine], scalars: Sequence[int],

@@ -1,45 +1,95 @@
 """Prewarm the persistent executable cache for the shipped configuration.
 
-Run once per machine/cache-dir (first compiles through the remote-TPU
-tunnel cost minutes EACH — the backend defers real compilation to first
-execution, see ops/exe_cache.py; cached executables reload in <1 s):
+On this backend the real TPU/Mosaic compilation is deferred to first
+execution (minutes per executable through the tunnel — see
+ops/exe_cache.py); cached executables reload in <1 s. This script prepays
+those compiles by running each bench phase once, which exercises exactly
+the executables `python bench.py` will dispatch:
 
-    python scripts/prewarm.py [ell ...]      # default: 508 124
+    python scripts/prewarm.py                 # all phases, plain-XLA mode
+    python scripts/prewarm.py --kernel        # fused Mosaic-kernel mode
+    python scripts/prewarm.py --kernel size508 size124   # chosen phases
 
-Exercises one full prove + verify at each size, which compiles every
-executable the prover (device-resident) and verifier dispatch. A full
-`python bench.py` run covers the same set plus the batch-verification
-shapes. Prewarm with CURDLE_RNS_KERNEL=1 as well to additionally
-populate the fused Mosaic-kernel executables (20-30 min per shape)."""
+Kernel-mode compiles cost 20-30 MINUTES per Mosaic shape; phases
+completed with --kernel are recorded in .exe_cache/prewarm_manifest.json
+("kernel_phases"), and bench.py runs a phase with CURDLE_RNS_KERNEL=1
+iff its key is listed there — so the bench never stalls on a cold
+Mosaic compile, and ships the fastest fully-warmed configuration.
+"""
 
+import json
 import os
+import subprocess
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.environ.get("CURDLE_EXE_CACHE", os.path.join(ROOT, ".exe_cache"))
+MANIFEST = os.path.join(CACHE, "prewarm_manifest.json")
 
-from go_curdleproofs_tpu.models import curdleproof            # noqa: E402
-from go_curdleproofs_tpu.utils.rand import Rand               # noqa: E402
+PHASES = {
+    "size508": ["--size", "508"],
+    "size124": ["--size", "124"],
+    "size252": ["--size", "252"],
+    "size60": ["--size", "60"],
+    "msm": ["--msm"],
+    "batch8": ["--batch", "8"],
+    "batch32": ["--batch", "32"],
+}
 
 
-def warm(ell: int) -> None:
+def _load_manifest() -> dict:
+    try:
+        with open(MANIFEST) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _record(phase: str, mode: str, ok: bool) -> None:
+    m = _load_manifest()
+    key = {"kernel": "kernel_phases", "vkernel": "vkernel_phases",
+           "xla": "xla_phases"}[mode]
+    cur = set(m.get(key, []))
+    (cur.add if ok else cur.discard)(phase)
+    m[key] = sorted(cur)
+    os.makedirs(CACHE, mode=0o700, exist_ok=True)
+    tmp = f"{MANIFEST}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, MANIFEST)
+
+
+def warm(phase: str, mode: str, timeout: int) -> bool:
+    env = dict(os.environ)
+    env["CURDLE_RNS_KERNEL"] = "1" if mode == "kernel" else "0"
+    env["CURDLE_VERIFY_KERNEL"] = "1" if mode == "vkernel" else "0"
     t0 = time.time()
-    rand = Rand(0xC0FFEE)
-    crs = curdleproof.generate_crs(ell, rand)
-    Rs = rand.get_g1s(ell)
-    Ss = rand.get_g1s(ell)
-    r = Rand(0xBEEF)
-    perm = r.generate_permutation(ell)
-    k = r.get_fr()
-    Ts, Us, M, rs_m = curdleproof.shuffle_permute_commit(
-        crs.gs, crs.hs, Rs, Ss, perm, k, r)
-    proof = curdleproof.prove(crs, Rs, Ss, Ts, Us, M, perm, k, rs_m, r)
-    assert curdleproof.verify(proof, crs, Rs, Ss, Ts, Us, M, Rand(1))
-    print(f"ell={ell}: warmed in {time.time() - t0:.1f}s", file=sys.stderr)
+    try:
+        rc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py")] + PHASES[phase],
+            env=env, cwd=ROOT, timeout=timeout).returncode
+    except subprocess.TimeoutExpired:
+        rc = -1
+    ok = rc == 0
+    print(f"# prewarm {phase} mode={mode}: "
+          f"{'ok' if ok else f'FAILED rc={rc}'} in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+    _record(phase, mode, ok)
+    return ok
 
 
 if __name__ == "__main__":
-    sizes = [int(a) for a in sys.argv[1:]] or [508, 124]
-    for e in sizes:
-        warm(e)
+    args = sys.argv[1:]
+    # --kernel: fused Pallas kernels everywhere (prover too; ~15 Mosaic
+    #           shapes per size — hours of first-compile through the tunnel)
+    # --vkernel: fused kernels for the VERIFIER's final-MSM programs only
+    #           (~2 Mosaic shapes per size; models/msm_accumulator.py)
+    mode = ("kernel" if "--kernel" in args
+            else "vkernel" if "--vkernel" in args else "xla")
+    names = [a for a in args if not a.startswith("--")] or list(PHASES)
+    timeout = int(os.environ.get("PREWARM_TIMEOUT", "10800"))
+    for name in names:
+        if name not in PHASES:
+            sys.exit(f"unknown phase {name!r}; choices: {list(PHASES)}")
+        warm(name, mode, timeout)
