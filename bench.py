@@ -227,15 +227,24 @@ def main():
     sweep = os.environ.get("BENCH_SWEEP", "1") == "1"
     extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
 
-    if len(sys.argv) > 1:               # child: run one phase in-process
-        phase = sys.argv[1]
-        if phase == "--size":
-            e = int(sys.argv[2])
-            bench_size(e, reps if e == ell else 1, cold_metric=(e == ell))
-        elif phase == "--msm":
-            bench_msm()
-        elif phase == "--batch":
-            bench_batch_verify(int(sys.argv[2]))
+    if len(sys.argv) > 1:               # child: run phases in-process
+        args = sys.argv[1:]
+        i = 0
+        while i < len(args):
+            phase = args[i]
+            if phase == "--size":
+                e = int(args[i + 1])
+                bench_size(e, reps if e == ell else 1,
+                           cold_metric=(e == ell))
+                i += 2
+            elif phase == "--msm":
+                bench_msm()
+                i += 1
+            elif phase == "--batch":
+                bench_batch_verify(int(args[i + 1]))
+                i += 2
+            else:
+                raise SystemExit(f"unknown phase arg {phase!r}")
         return
 
     if os.environ.get("BENCH_SUBPROC", "1") != "1":   # in-process fallback
@@ -250,15 +259,38 @@ def main():
                     bench_size(e, reps=1)
         return
 
-    headline = _run_phase(["--size", str(ell)], f"size{ell}")
+    # one subprocess per GROUP of same-mode phases: executable loads cost
+    # ~50 MB/s through the tunnel (GBs per process), so phases sharing a
+    # kernel mode share one process. The headline size always leads its
+    # group (and the whole run) so a harness timeout still captures it.
+    phase_list = [(f"size{ell}", ["--size", str(ell)])]
     if extras:
-        _run_phase(["--msm"], "msm")
-        _run_phase(["--batch", "8"], "batch8")
-        _run_phase(["--batch", "32"], "batch32")
+        phase_list += [("msm", ["--msm"]), ("batch8", ["--batch", "8"]),
+                       ("batch32", ["--batch", "32"])]
     if sweep:
-        for e in (60, 124, 252):
-            if e != ell:
-                _run_phase(["--size", str(e)], f"size{e}")
+        phase_list += [(f"size{e}", ["--size", str(e)])
+                       for e in (60, 124, 252) if e != ell]
+    def mode_of(key):
+        env = _kernel_env(key)
+        return (env["CURDLE_RNS_KERNEL"], env["CURDLE_VERIFY_KERNEL"])
+
+    # stable-sort the non-headline phases by mode so same-mode phases land
+    # in one subprocess (headline stays first regardless of its mode)
+    phase_list = phase_list[:1] + sorted(phase_list[1:],
+                                         key=lambda p: mode_of(p[0]))
+    groups = []                      # [(mode, [argv...], [keys...])]
+    for key, argv in phase_list:
+        mode = mode_of(key)
+        if groups and groups[-1][0] == mode:
+            groups[-1][1].extend(argv)
+            groups[-1][2].append(key)
+        else:
+            groups.append((mode, list(argv), [key]))
+    headline = []
+    for mode, argv, keys in groups:
+        lines = _run_phase(argv, keys[0], timeout=3600 * len(keys))
+        if keys[0] == f"size{ell}":
+            headline = lines
     if extras:
         # multi-device scaling efficiency (virtual CPU mesh; the sharding
         # path the driver's dryrun_multichip also exercises)

@@ -39,16 +39,15 @@ REPS = int(os.environ.get("SCALING_REPS", "3"))
 
 
 def main():
-    import numpy as np
+    import random
 
     from go_curdleproofs_tpu.parallel import msm as pmsm
     from go_curdleproofs_tpu.utils import field_host as fh
 
     n_cores = os.cpu_count() or 1
-    rng = np.random.default_rng(5)
-    pts = [fh.g1_mul(fh.G1_GEN, int(k))
-           for k in rng.integers(1, fh.R, N)]
-    scalars = [int(s) for s in rng.integers(1, fh.R, N)]
+    rng = random.Random(5)
+    pts = [fh.g1_mul(fh.G1_GEN, rng.randrange(1, fh.R)) for _ in range(N)]
+    scalars = [rng.randrange(fh.R) for _ in range(N)]
     expect = None
 
     times = {}
