@@ -74,10 +74,13 @@ def _kernel_env(phase_key: str) -> dict:
     final-MSM programs only (curve.kernel_scope)."""
     env = dict(os.environ)
     m = _manifest()
-    env["CURDLE_RNS_KERNEL"] = \
-        "1" if phase_key in m.get("kernel_phases", []) else "0"
+    kernel = phase_key in m.get("kernel_phases", [])
+    env["CURDLE_RNS_KERNEL"] = "1" if kernel else "0"
+    # full kernel mode subsumes the verifier-only tier (same verify
+    # programs); keeping the flag off lets same-mode phases share a group
     env["CURDLE_VERIFY_KERNEL"] = \
-        "1" if phase_key in m.get("vkernel_phases", []) else "0"
+        "1" if (not kernel and phase_key in m.get("vkernel_phases", [])) \
+        else "0"
     return env
 
 
