@@ -231,6 +231,11 @@ def main():
     extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
 
     if len(sys.argv) > 1:               # child: run phases in-process
+        if os.environ.get("CURDLE_EXE_PRELOAD", "1") == "1":
+            # overlap executable deserialization (GBs at ~50 MB/s serial,
+            # ~2.5x with threads) with setup/tracing
+            from go_curdleproofs_tpu.ops import exe_cache
+            exe_cache.preload_all()
         args = sys.argv[1:]
         i = 0
         while i < len(args):

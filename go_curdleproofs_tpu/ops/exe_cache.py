@@ -159,6 +159,15 @@ class CachedJit:
                 lowered.as_text().encode() + b"\0" + sig.encode()
                 + b"\0" + _backend_fingerprint()).hexdigest()
             path = os.path.join(_DIR, f"{self._name}-{key[:32]}.jexe")
+            _record_usage(path)
+            fut = _preload.pop(path, None)
+            if fut is not None:
+                try:
+                    exe = fut.result()
+                    _debug(f"exe_cache PRELOAD-HIT {self._name}-{key[:32]}")
+                    return exe
+                except Exception:
+                    pass             # fall through to the normal load
             if os.path.exists(path) and _dir_trusted():
                 with open(path, "rb") as f:
                     payload = pickle.load(f)
@@ -195,3 +204,66 @@ def cached_jit(fn=None, *, static_argnames=None, name=None):
     if fn is None:
         return lambda f: CachedJit(f, static_argnames, name)
     return CachedJit(fn, static_argnames, name)
+
+
+# -- threaded preload ---------------------------------------------------------
+#
+# Loads stream ~50 MB/s serially through the tunnel (executables are
+# 200-550 MB; a full prove's working set is GBs), but threads overlap the
+# transfers ~2.5x. Which executables a process will need can't be computed
+# up front (keys require lowering), so each process APPENDS the paths it
+# touches to a per-mode usage file; the next same-mode process preloads
+# exactly that set in background threads while imports/tracing proceed.
+# scripts/prewarm.py populates the usage files as a side effect.
+
+_preload = {}
+_usage_fh = None
+
+
+def _mode_tag() -> str:
+    return ("k" + os.environ.get("CURDLE_RNS_KERNEL", "0")
+            + "v" + os.environ.get("CURDLE_VERIFY_KERNEL", "0"))
+
+
+def _record_usage(path: str) -> None:
+    global _usage_fh
+    try:
+        if _usage_fh is None:
+            os.makedirs(_DIR, mode=0o700, exist_ok=True)
+            _usage_fh = open(
+                os.path.join(_DIR, f"usage-{_mode_tag()}.txt"), "a")
+        _usage_fh.write(path + "\n")
+        _usage_fh.flush()
+    except OSError:
+        pass
+
+
+def preload_all(max_workers: int = 4) -> int:
+    """Start background deserialization of every executable this mode's
+    usage file names. Returns the number of loads started. Safe no-op when
+    the cache is disabled/untrusted or no usage has been recorded."""
+    if not _enabled() or not _dir_trusted():
+        return 0
+    try:
+        with open(os.path.join(_DIR, f"usage-{_mode_tag()}.txt")) as f:
+            paths = [p for p in dict.fromkeys(f.read().split())
+                     if os.path.exists(p)]
+    except OSError:
+        return 0
+    if not paths:
+        return 0
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jax.experimental import serialize_executable as se
+
+    def load(p):
+        with open(p, "rb") as f:
+            payload = pickle.load(f)
+        return se.deserialize_and_load(*payload)
+
+    ex = ThreadPoolExecutor(max_workers)
+    for p in paths:
+        _preload[p] = ex.submit(load, p)
+    ex.shutdown(wait=False)
+    _debug(f"exe_cache preloading {len(paths)} executables")
+    return len(paths)
