@@ -162,6 +162,12 @@ class CachedJit:
             _record_usage(path)
             fut = _preload.pop(path, None)
             if fut is not None:
+                # demand jumps the queue: a future still WAITING behind
+                # unrelated queued loads is cancelled and loaded inline;
+                # one already running is worth waiting for
+                if not fut.done() and fut.cancel():
+                    fut = None
+            if fut is not None:
                 try:
                     exe = fut.result()
                     _debug(f"exe_cache PRELOAD-HIT {self._name}-{key[:32]}")
