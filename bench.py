@@ -142,11 +142,15 @@ def bench_size(ell, reps, cold_metric=False):
     return prove_ms, verify_ms
 
 
-def bench_msm(n=4096, reps=5):
+def bench_msm(n=4096, reps=5, jobs=4):
     """Sustained device MSM throughput (BASELINE.json 'MSM points/s/chip')
     over n DISTINCT device-resident bases (table built once, as in the
     prover's folding arguments and gnark's own MultiExp benchmark loop),
-    fresh scalars each rep (digit decomposition included in the timing)."""
+    fresh scalars each rep (digit decomposition included in the timing).
+
+    Two regimes: one MSM per dispatch (a single verification's final MSM
+    — latency-bound) and `jobs` independent MSMs per dispatch (the
+    batched-verification regime — amortizes the dispatch + fetch)."""
     import random
 
     from go_curdleproofs_tpu.ops import curve
@@ -157,14 +161,25 @@ def bench_msm(n=4096, reps=5):
     pts = rand.get_g1s(n)                      # n distinct points
     random.seed(17)
     sv = curve.StackedVec.from_affine([pts])
-    scs = [[random.randrange(fh.R) for _ in range(n)] for _ in range(2)]
-    for sc in scs:
-        sv.msm_many([[(0, sc, 0)]])            # warmup (compiles/loads)
+    scs = [[random.randrange(fh.R) for _ in range(n)]
+           for _ in range(2 * jobs)]
+    for i in range(2):
+        sv.msm_many([[(0, scs[i], 0)]])        # warmup (compiles/loads)
     t0 = time.time()
     for i in range(reps):
         sv.msm_many([[(0, scs[i % 2], 0)]])
     dt = (time.time() - t0) / reps
     emit("msm_points_per_s_chip", n / dt, "points/s")
+
+    batches = [[[(0, scs[j], 0)] for j in range(k * jobs, (k + 1) * jobs)]
+               for k in range(2)]
+    for b in batches:
+        sv.msm_many(b)                         # warmup (compiles/loads)
+    t0 = time.time()
+    for i in range(reps):
+        sv.msm_many(batches[i % 2])
+    dt = (time.time() - t0) / reps
+    emit("msm_points_per_s_chip_batched", jobs * n / dt, "points/s")
 
 
 def bench_batch_verify(batch=8):
