@@ -87,6 +87,13 @@ def _kernel_env(phase_key: str) -> dict:
 # ---------------------------------------------------------------- phases
 
 
+def _preload_join():
+    """Finish outstanding background executable loads before a timed
+    section (they share the tunnel with D2H fetches)."""
+    from go_curdleproofs_tpu.ops import exe_cache
+    exe_cache.preload_join()
+
+
 def bench_size(ell, reps, cold_metric=False):
     from go_curdleproofs_tpu.models import curdleproof
     from go_curdleproofs_tpu.utils.rand import Rand
@@ -110,6 +117,7 @@ def bench_size(ell, reps, cold_metric=False):
     t0 = time.time()
     Ts, Us, M, proof = one_prove()              # warmup (compiles/loads)
     print(f"# ell={ell} warmup prove: {time.time()-t0:.1f}s", file=sys.stderr)
+    _preload_join()
     if cold_metric:
         # fresh-process exec -> first full prove (loads + uploads included)
         emit("cold_start_s", time.time() - _T0, "s")
@@ -165,6 +173,7 @@ def bench_msm(n=4096, reps=5, jobs=4):
            for _ in range(2 * jobs)]
     for i in range(2):
         sv.msm_many([[(0, scs[i], 0)]])        # warmup (compiles/loads)
+    _preload_join()
     t0 = time.time()
     for i in range(reps):
         sv.msm_many([[(0, scs[i % 2], 0)]])
@@ -201,6 +210,7 @@ def bench_batch_verify(batch=8):
         instances.append((pre, post, proof_bytes))
 
     assert pbatch.verify_shuffle_proofs_batch(crs, instances, Rand(7))  # warm
+    _preload_join()
     reps = 3
     t0 = time.time()
     for i in range(reps):

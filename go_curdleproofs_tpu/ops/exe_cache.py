@@ -273,3 +273,14 @@ def preload_all(max_workers: int = 4) -> int:
     ex.shutdown(wait=False)
     _debug(f"exe_cache preloading {len(paths)} executables")
     return len(paths)
+
+
+def preload_join() -> None:
+    """Block until every outstanding preload finishes. Benchmarks call
+    this before a timed section — background loads share the tunnel with
+    D2H fetches and would otherwise perturb measured latencies."""
+    for fut in list(_preload.values()):
+        try:
+            fut.result()
+        except Exception:
+            pass
